@@ -1,0 +1,21 @@
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    get_mesh,
+    pad_batch_to,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_sharding",
+    "get_mesh",
+    "pad_batch_to",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]
