@@ -1,0 +1,300 @@
+"""Flax NN building blocks.
+
+Replaces the ``nerv.models`` helpers the reference relies on
+(``conv_norm_act`` / ``deconv_norm_act`` / ``build_transformer_encoder`` /
+``build_pos_enc`` — SURVEY.md §2.1 R8) plus the model-local utilities in
+/root/reference/slotformer/base_slots/models/utils.py (SoftPositionEmbed,
+build_grid, to_rgb_from_tensor).
+
+TPU-native conventions:
+  * images are NHWC (``[B, H, W, C]``) — the layout XLA:TPU tiles natively;
+    the reference's NCHW is a CUDA convention we do not inherit.
+  * compute dtype is configurable (bf16 policy applied by the caller);
+    params stay f32.
+  * transformer encoder supports key-padding masks (required by the Aloe VQA
+    head, reference clevrer_vqa/models/transformer.py:204-205).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _act(name: str) -> Callable:
+    if not name:
+        return lambda x: x
+    return {
+        "relu": nn.relu,
+        "gelu": nn.gelu,
+        "tanh": jnp.tanh,
+        "sigmoid": nn.sigmoid,
+    }[name]
+
+
+class ConvNormAct(nn.Module):
+    """Conv2D (+ optional GroupNorm) (+ optional activation), NHWC.
+
+    Equivalent surface of nerv's ``conv_norm_act`` as the reference uses it
+    (savi.py:230-240: k5 convs, stride 2 on the first layer for 128x128
+    inputs, '' norm, relu between layers).
+    """
+
+    out_channels: int
+    kernel_size: int = 5
+    stride: int = 1
+    norm: str = ""
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            self.out_channels,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+        )(x)
+        if self.norm == "gn":
+            x = nn.GroupNorm(num_groups=1)(x)
+        elif self.norm:
+            raise NotImplementedError(f"norm {self.norm}")
+        return _act(self.act)(x)
+
+
+class DeconvNormAct(nn.Module):
+    """Transposed Conv2D (+ norm/act), NHWC.
+
+    Matches the reference decoder geometry: kernel 5, stride 2, pad ks//2,
+    output_padding 1 => exact 2x upsampling (savi.py:265-277).
+    """
+
+    out_channels: int
+    kernel_size: int = 5
+    stride: int = 2
+    norm: str = ""
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.ConvTranspose(
+            self.out_channels,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+        )(x)
+        if self.norm == "gn":
+            x = nn.GroupNorm(num_groups=1)(x)
+        elif self.norm:
+            raise NotImplementedError(f"norm {self.norm}")
+        return _act(self.act)(x)
+
+
+class MLP(nn.Module):
+    """Linear stack with an activation between layers (none after the last)."""
+
+    features: Sequence[int]
+    act: str = "relu"
+    norm_first: bool = False  # LayerNorm on the input
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.norm_first:
+            x = nn.LayerNorm()(x)
+        a = _act(self.act)
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f)(x)
+            if i != len(self.features) - 1:
+                x = a(x)
+        return x
+
+
+def build_grid(resolution: Tuple[int, int]) -> np.ndarray:
+    """Normalized coordinate grid [1, H, W, 4] = (y, x, 1-y, 1-x).
+
+    Reference: base_slots/models/utils.py:37-44.
+    """
+    ranges = [np.linspace(0.0, 1.0, num=r, dtype=np.float32) for r in resolution]
+    grid = np.stack(np.meshgrid(*ranges, indexing="ij"), axis=-1)
+    grid = grid.reshape(resolution[0], resolution[1], -1)[None]
+    return np.concatenate([grid, 1.0 - grid], axis=-1)
+
+
+class SoftPositionEmbed(nn.Module):
+    """Project the 4-dim coordinate grid and add to an NHWC feature map.
+
+    Reference: base_slots/models/utils.py:52-63 (there NCHW; here NHWC).
+    """
+
+    hidden_size: int
+    resolution: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        grid = jnp.asarray(build_grid(self.resolution), inputs.dtype)
+        emb = nn.Dense(self.hidden_size, name="dense")(grid)  # [1, H, W, C]
+        return inputs + emb
+
+
+def to_rgb_from_tensor(x: jnp.ndarray) -> jnp.ndarray:
+    """Invert the [-1, 1] normalization back to [0, 1] RGB."""
+    return jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Positional encodings
+# ---------------------------------------------------------------------------
+
+def get_sin_pos_enc(seq_len: int, d_model: int) -> np.ndarray:
+    """Sinusoidal absolute PE, [1, L, D].
+
+    NOTE: the reference generates positions in *reverse* order
+    (pos = L-1 .. 0, video_prediction/models/slotformer.py:10-16); kept
+    bit-identical because rollout quality depends on relative phases only,
+    but checkpoint parity matters for debugging.
+    """
+    inv_freq = 1.0 / (10000 ** (np.arange(0.0, d_model, 2.0) / d_model))
+    pos_seq = np.arange(seq_len - 1, -1, -1, dtype=np.float32)
+    sinusoid = np.outer(pos_seq, inv_freq)
+    pos_emb = np.concatenate([np.sin(sinusoid), np.cos(sinusoid)], axis=-1)
+    return pos_emb[None].astype(np.float32)
+
+
+class PosEnc(nn.Module):
+    """Learnable (zero-init) or frozen-sinusoidal positional embedding.
+
+    Reference: build_pos_enc (slotformer.py:19-32). ``__call__`` returns the
+    [1, L, D] table; '' / None kind returns zeros so callers can add blindly.
+    """
+
+    kind: str  # '', 'learnable', 'sin'/'sine'
+    input_len: int
+    d_model: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        if not self.kind:
+            return jnp.zeros((1, self.input_len, self.d_model))
+        if self.kind == "learnable":
+            return self.param(
+                "pos_embedding",
+                nn.initializers.zeros,
+                (1, self.input_len, self.d_model),
+            )
+        if "sin" in self.kind:
+            # constant buffer — not a trainable param
+            return jnp.asarray(get_sin_pos_enc(self.input_len, self.d_model))
+        raise NotImplementedError(f"unsupported pos enc {self.kind}")
+
+
+# ---------------------------------------------------------------------------
+# Transformer encoder (torch.nn.TransformerEncoder semantics)
+# ---------------------------------------------------------------------------
+
+class TransformerEncoderLayer(nn.Module):
+    """One encoder block with pre-/post-LN selectable by ``norm_first``.
+
+    Mirrors torch.nn.TransformerEncoderLayer behavior (incl. its default
+    dropout=0.1, active in the reference's SlotRollouter / predictors).
+    Supports key-padding masks (True = PADDED / ignore, torch convention).
+    """
+
+    d_model: int
+    num_heads: int
+    ffn_dim: int
+    norm_first: bool = True
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        attn_mask = None
+        if key_padding_mask is not None:
+            # [B, L] True=pad -> attention mask [B, 1, 1, L] True=attend
+            attn_mask = ~key_padding_mask[:, None, None, :]
+
+        def mha(h):
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads,
+                qkv_features=self.d_model,
+                out_features=self.d_model,
+                dropout_rate=self.dropout,
+                deterministic=deterministic,
+                name="self_attn",
+            )(h, h, mask=attn_mask)
+            return nn.Dropout(self.dropout, deterministic=deterministic)(h)
+
+        def ffn(h):
+            h = nn.Dense(self.ffn_dim, name="linear1")(h)
+            h = nn.relu(h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = nn.Dense(self.d_model, name="linear2")(h)
+            return nn.Dropout(self.dropout, deterministic=deterministic)(h)
+
+        ln1 = nn.LayerNorm(name="norm1")
+        ln2 = nn.LayerNorm(name="norm2")
+        if self.norm_first:
+            x = x + mha(ln1(x))
+            x = x + ffn(ln2(x))
+        else:
+            x = ln1(x + mha(x))
+            x = ln2(x + ffn(x))
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of encoder layers (shared config, unshared params)."""
+
+    d_model: int
+    num_layers: int
+    num_heads: int
+    ffn_dim: int
+    norm_first: bool = True
+    dropout: float = 0.1
+    final_norm: bool = False  # torch adds no final LN by default
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                d_model=self.d_model,
+                num_heads=self.num_heads,
+                ffn_dim=self.ffn_dim,
+                norm_first=self.norm_first,
+                dropout=self.dropout,
+                name=f"layer_{i}",
+            )(x, key_padding_mask=key_padding_mask, deterministic=deterministic)
+        if self.final_norm:
+            x = nn.LayerNorm(name="final_norm")(x)
+        return x
+
+
+def assert_shape(actual, expected, message: str = "") -> None:
+    assert list(actual) == list(expected), (
+        f"Expected shape: {expected} but passed shape: {actual}. {message}"
+    )
+
+
+def deconv_out_shape(in_size, stride, padding, kernel_size, out_padding) -> int:
+    """Transposed-conv output size (reference uses this to assert geometry)."""
+    return (in_size - 1) * stride - 2 * padding + kernel_size + out_padding
+
+
+def clip_tensor_norm(x: jnp.ndarray, norm: float, axis: int = -1, eps: float = 1e-6):
+    """Clip the L2 norm of ``x`` along ``axis`` to at most ``norm``."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    scale = jnp.minimum(norm / (n + eps), 1.0)
+    return x * scale

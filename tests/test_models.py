@@ -1,0 +1,323 @@
+"""Model unit tests: slot attention math, predictors, SAVi, SlotFormer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slotformer_tpu.models import (
+    SingleStepSlotFormer,
+    SlotAttention,
+    SlotAttentionWMask,
+    SlotFormer,
+    StoSAVi,
+    get_sin_pos_enc,
+)
+from slotformer_tpu.runtime import graft
+
+
+RNG = jax.random.PRNGKey(0)
+
+
+# ---------------------------------------------------------------- helpers
+def tiny_savi(kld="var-0.01", pred_rnn=False, pred_type="mlp", res=32):
+    return StoSAVi(
+        resolution=(res, res),
+        clip_len=4,
+        slot_dict=dict(
+            num_slots=4, slot_size=16, slot_mlp_size=32, num_iterations=2,
+            kernel_mlp=False,
+        ),
+        enc_dict=dict(enc_channels=(3, 8, 8), enc_ks=3, enc_out_channels=16),
+        dec_dict=dict(dec_channels=(16, 8, 8), dec_resolution=(8, 8), dec_ks=3),
+        pred_dict=dict(
+            pred_type=pred_type, pred_rnn=pred_rnn, pred_norm_first=True,
+            pred_num_layers=1, pred_num_heads=2, pred_ffn_dim=32,
+            pred_sg_every=None,
+        ),
+        loss_dict=dict(use_post_recon_loss=True, kld_method=kld),
+    )
+
+
+def tiny_slotformer(use_img=False, history=3, rollout=4):
+    return SlotFormer(
+        resolution=(16, 16),
+        slot_dict=dict(num_slots=4, slot_size=16),
+        dec_dict=dict(dec_channels=(16, 8), dec_resolution=(16, 16), dec_ks=3),
+        rollout_dict=dict(
+            num_slots=4, slot_size=16, history_len=history, t_pe="sin",
+            d_model=16, num_layers=1, num_heads=2, ffn_dim=32,
+        ),
+        loss_dict=dict(rollout_len=rollout, use_img_recon_loss=use_img),
+    )
+
+
+# ------------------------------------------------------------ slot attention
+def manual_slot_attention(params, inputs, slots, num_iters=2, eps=1e-6):
+    """Reference math in pure numpy (savi.py:56-102)."""
+
+    def ln(x, scale, bias):
+        mu = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + 1e-6) * scale + bias
+
+    p = jax.tree.map(np.asarray, params)
+    x = ln(inputs, p["norm_inputs"]["scale"], p["norm_inputs"]["bias"])
+    k = x @ p["project_k"]["kernel"]
+    v = x @ p["project_v"]["kernel"]
+    D = slots.shape[-1]
+    for _ in range(num_iters):
+        prev = slots
+        q = ln(slots, p["project_q_norm"]["scale"], p["project_q_norm"]["bias"])
+        q = q @ p["project_q"]["kernel"]
+        logits = (D**-0.5) * np.einsum("bnd,bsd->bns", k, q)
+        attn = np.exp(logits - logits.max(-1, keepdims=True))
+        attn = attn / attn.sum(-1, keepdims=True)
+        attn = attn + eps
+        attn = attn / attn.sum(1, keepdims=True)
+        updates = np.einsum("bns,bnd->bsd", attn, v)
+        # flax GRUCell: r,z gates with sigmoid, candidate n with tanh
+        gp = p["gru"]
+        def dense(x, w, b=None):
+            out = x @ w["kernel"]
+            return out + w.get("bias", 0.0) if b is None else out
+        r = _sigmoid(updates @ gp["ir"]["kernel"] + gp["ir"]["bias"] + prev @ gp["hr"]["kernel"])
+        z = _sigmoid(updates @ gp["iz"]["kernel"] + gp["iz"]["bias"] + prev @ gp["hz"]["kernel"])
+        n = np.tanh(updates @ gp["in"]["kernel"] + gp["in"]["bias"] + r * (prev @ gp["hn"]["kernel"] + gp["hn"]["bias"]))
+        slots = (1.0 - z) * n + z * prev
+        h = ln(slots, p["mlp_norm"]["scale"], p["mlp_norm"]["bias"])
+        h = np.maximum(h @ p["mlp_hidden"]["kernel"] + p["mlp_hidden"]["bias"], 0)
+        slots = slots + h @ p["mlp_out"]["kernel"] + p["mlp_out"]["bias"]
+    return slots
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def test_slot_attention_matches_manual_math():
+    sa = SlotAttention(
+        in_features=8, num_iterations=2, num_slots=3, slot_size=16,
+        mlp_hidden_size=32,
+    )
+    inputs = jax.random.normal(jax.random.PRNGKey(1), (2, 25, 8))
+    slots0 = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 16))
+    variables = sa.init(RNG, inputs, slots0)
+    out = sa.apply(variables, inputs, slots0)
+    ref = manual_slot_attention(
+        variables["params"], np.asarray(inputs), np.asarray(slots0)
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_slot_attention_mask_variant():
+    sa = SlotAttentionWMask(
+        in_features=8, num_iterations=2, num_slots=3, slot_size=16,
+        mlp_hidden_size=32,
+    )
+    inputs = jax.random.normal(jax.random.PRNGKey(1), (2, 25, 8))
+    slots0 = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 16))
+    variables = sa.init(RNG, inputs, slots0)
+    slots, masks = sa.apply(variables, inputs, slots0)
+    assert slots.shape == (2, 3, 16)
+    assert masks.shape == (2, 3, 25)
+    # attention over slots sums to 1 pixel-wise
+    np.testing.assert_allclose(np.asarray(masks.sum(1)), 1.0, rtol=1e-5)
+
+
+def test_sin_pos_enc_matches_reference_formula():
+    """Reverse-ordered sinusoidal PE (slotformer.py:10-16)."""
+    pe = get_sin_pos_enc(5, 8)
+    assert pe.shape == (1, 5, 8)
+    inv_freq = 1.0 / (10000 ** (np.arange(0, 8, 2) / 8))
+    # last position corresponds to pos_seq value 0 -> sin=0, cos=1
+    np.testing.assert_allclose(pe[0, -1, :4], 0.0, atol=1e-7)
+    np.testing.assert_allclose(pe[0, -1, 4:], 1.0, atol=1e-7)
+    np.testing.assert_allclose(pe[0, 0, :4], np.sin(4 * inv_freq), rtol=1e-5)
+
+
+# ------------------------------------------------------------------- StoSAVi
+@pytest.mark.parametrize("kld,pred_rnn", [("var-0.01", False), ("none", True)])
+def test_stosavi_forward_shapes(kld, pred_rnn):
+    model = tiny_savi(kld=kld, pred_rnn=pred_rnn, pred_type="transformer" if pred_rnn else "mlp")
+    batch = {"img": jnp.zeros((2, 4, 32, 32, 3))}
+    variables = model.init({"params": RNG, "sample": RNG}, batch)
+    out = model.apply(variables, batch, rngs={"sample": RNG})
+    assert out["post_slots"].shape == (2, 4, 4, 16)
+    assert out["kernel_dist"].shape == (2, 4, 4, 32)
+    assert out["post_recon_combined"].shape == (2, 4, 32, 32, 3)
+    assert out["post_masks"].shape == (2, 4, 4, 32, 32, 1)
+    # masks normalized over slots
+    np.testing.assert_allclose(
+        np.asarray(out["post_masks"]).sum(2), 1.0, rtol=1e-5
+    )
+    losses = model.apply(
+        variables, batch, method="train_loss", rngs={"sample": RNG, "dropout": RNG}
+    )
+    assert set(losses) == {"kld_loss", "post_recon_loss"}
+    if kld == "none":
+        assert float(losses["kld_loss"]) == 0.0
+    assert np.isfinite(float(losses["post_recon_loss"]))
+
+
+def test_stosavi_temporal_recurrence_uses_predictor():
+    """Slots at t>0 must depend on slots at t-1 (recurrence, savi.py:393-410)."""
+    model = tiny_savi(kld="none")
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 32, 32, 3))
+    variables = model.init({"params": RNG}, {"img": img})
+
+    def encode(img):
+        return model.apply(variables, img, method="encode")[1]
+
+    slots = encode(img)
+    # change frame 1 only: slots at t=0 unchanged, t=1,2 change
+    img2 = img.at[:, 1].add(1.0)
+    slots2 = encode(img2)
+    np.testing.assert_allclose(slots[:, 0], slots2[:, 0], atol=1e-6)
+    assert np.abs(np.asarray(slots[:, 1] - slots2[:, 1])).max() > 1e-4
+    assert np.abs(np.asarray(slots[:, 2] - slots2[:, 2])).max() > 1e-5
+
+
+def test_stosavi_chunked_encode_carry():
+    """Chunked encoding with slot carry must match one-shot encoding
+    (replaces the reference's OOM-adaptive chunking, savi.py:421-463)."""
+    model = tiny_savi(kld="none")  # deterministic for exactness
+    img = jax.random.normal(jax.random.PRNGKey(4), (1, 6, 32, 32, 3))
+    variables = model.init({"params": RNG}, {"img": img})
+
+    _, full, _, _, _ = model.apply(variables, img, method="encode")
+    _, s1, _, _, carry = model.apply(variables, img[:, :3], method="encode")
+    slots_c, pred_state = carry
+    _, s2, _, _, _ = model.apply(
+        variables, img[:, 3:], slots_c, pred_state, method="encode"
+    )
+    chunked = jnp.concatenate([s1, s2], axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-5)
+
+
+def test_savi_kld_loss_value():
+    """KLD vs fixed-sigma prior: at log_var == kld_log_var the KLD is 0."""
+    import math
+
+    model = tiny_savi(kld="var-0.01")
+    batch = {"img": jnp.zeros((1, 2, 32, 32, 3))}
+    variables = model.init({"params": RNG, "sample": RNG}, batch)
+    D = 16
+    mu = jnp.ones((1, 2, 4, D))
+    log_var = jnp.full((1, 2, 4, D), math.log(0.01))
+    kd = jnp.concatenate([mu, log_var], -1)
+    kld = model.apply(variables, kd, method="_kld_loss")
+    assert float(kld) == pytest.approx(0.0, abs=1e-5)
+
+
+# ---------------------------------------------------------------- SlotFormer
+def test_slotformer_rollout_shapes_and_loss():
+    model = tiny_slotformer(use_img=True)
+    batch = {
+        "slots": jax.random.normal(RNG, (2, 7, 4, 16)),
+        "img": jnp.zeros((2, 7, 16, 16, 3)),
+    }
+    variables = model.init(RNG, batch)
+    out = model.apply(variables, batch)
+    assert out["pred_slots"].shape == (2, 4, 4, 16)
+    assert out["recon_combined"].shape == (2, 4, 16, 16, 3)
+    losses = model.apply(variables, batch, method="train_loss", rngs={"dropout": RNG})
+    assert set(losses) == {"slot_recon_loss", "img_recon_loss"}
+
+
+def test_slotformer_autoregressive_dependency():
+    """Prediction t depends on predictions < t (window slides)."""
+    model = tiny_slotformer(use_img=False, history=3, rollout=1)
+    slots = jax.random.normal(RNG, (1, 4, 4, 16))
+    variables = model.init(RNG, {"slots": slots})
+    # rollout 3 steps from the same 3-frame history
+    preds = model.apply(variables, slots[:, :3], 3, method="rollout")
+    # step 1 from shifted history [s1, s2, p0] must equal what the scan did
+    hist2 = jnp.concatenate([slots[:, 1:3], preds[:, :1]], axis=1)
+    p1_manual = model.apply(variables, hist2, 1, method="rollout")
+    np.testing.assert_allclose(
+        np.asarray(preds[:, 1]), np.asarray(p1_manual[:, 0]), atol=1e-5
+    )
+
+
+def test_slotformer_loss_decay_weighting():
+    model = tiny_slotformer()
+    slots = jax.random.normal(RNG, (2, 7, 4, 16))
+    batch = {"slots": slots}
+    variables = model.init(RNG, batch)
+    l_flat = model.apply(variables, batch, method="train_loss", rngs={"dropout": RNG},
+                         loss_decay_factor=1.0)
+    l_decay = model.apply(variables, batch, method="train_loss", rngs={"dropout": RNG},
+                          loss_decay_factor=0.5)
+    assert float(l_flat["slot_recon_loss"]) != float(l_decay["slot_recon_loss"])
+
+
+def test_slotformer_vid_len_masking():
+    """Zero-padded PHYRE clips only count valid frames (slotformer.py:306-318)."""
+    model = tiny_slotformer(history=3, rollout=4)
+    slots = jax.random.normal(RNG, (2, 7, 4, 16))
+    variables = model.init(RNG, {"slots": slots})
+    out = model.apply(variables, {"slots": slots})
+    full = model.apply(variables, {"slots": slots}, out, method="calc_train_loss")
+    # vid_len = 7 for both -> same as unmasked
+    vl = np.array([7, 7])
+    masked_full = model.apply(
+        variables, {"slots": slots, "vid_len": vl}, out, method="calc_train_loss"
+    )
+    np.testing.assert_allclose(
+        float(full["slot_recon_loss"]), float(masked_full["slot_recon_loss"]),
+        rtol=1e-5,
+    )
+    # vid_len = 3: sample 0 contributes nothing
+    vl2 = np.array([3, 7])
+    masked = model.apply(
+        variables, {"slots": slots, "vid_len": vl2}, out, method="calc_train_loss"
+    )
+    err = np.asarray((out["pred_slots"] - out["gt_slots"]) ** 2)
+    expect = err[1].mean()  # only sample 1, all 4 steps valid
+    np.testing.assert_allclose(float(masked["slot_recon_loss"]), expect, rtol=1e-4)
+
+
+def test_decoder_graft_savi_to_slotformer():
+    """SlotFormer must reproduce SAVi's decoder output after grafting
+    (frozen-decoder contract, slotformer.py:196-218)."""
+    savi = tiny_savi()
+    batch = {"img": jnp.zeros((1, 2, 32, 32, 3))}
+    savi_vars = savi.init({"params": RNG, "sample": RNG}, batch)
+
+    sf = SlotFormer(
+        resolution=(32, 32),
+        slot_dict=dict(num_slots=4, slot_size=16),
+        dec_dict=dict(dec_channels=(16, 8, 8), dec_resolution=(8, 8), dec_ks=3),
+        rollout_dict=dict(
+            num_slots=4, slot_size=16, history_len=3, t_pe="sin",
+            d_model=16, num_layers=1, num_heads=2, ffn_dim=32,
+        ),
+        loss_dict=dict(rollout_len=2, use_img_recon_loss=False),
+    )
+    sf_batch = {"slots": jnp.zeros((1, 5, 4, 16))}
+    sf_vars = sf.init(RNG, sf_batch)
+    grafted = graft(sf_vars["params"], savi_vars["params"], {"decoder": "decoder"})
+
+    slots = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 16))
+    rec_savi = savi.apply(savi_vars, slots, method="decode")[0]
+    rec_sf = SlotFormer.apply(sf, {"params": grafted}, slots, method="decode")[0]
+    np.testing.assert_allclose(np.asarray(rec_savi), np.asarray(rec_sf), atol=1e-6)
+
+
+def test_single_step_rollouter_growing_context():
+    model = SingleStepSlotFormer(
+        resolution=(16, 16),
+        slot_dict=dict(num_slots=3, slot_size=16),
+        dec_dict=dict(dec_channels=(16, 8), dec_resolution=(16, 16), dec_ks=3),
+        rollout_dict=dict(
+            num_slots=3, slot_size=16, history_len=1, cond_len=3, t_pe="sin",
+            d_model=16, num_layers=1, num_heads=2, ffn_dim=32,
+        ),
+        loss_dict=dict(rollout_len=5, use_img_recon_loss=False),
+    )
+    batch = {"slots": jax.random.normal(RNG, (2, 6, 3, 16))}
+    variables = model.init(RNG, batch)
+    out = model.apply(variables, batch)
+    assert out["pred_slots"].shape == (2, 5, 3, 16)
+    assert np.isfinite(np.asarray(out["pred_slots"])).all()
