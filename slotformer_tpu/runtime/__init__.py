@@ -22,6 +22,7 @@ from .checkpoint import (
     save_checkpoint,
 )
 from .datamodule import BaseDataModule, DataLoader, Dataset, default_collate
+from .method import BaseMethod
 
 __all__ = [
     "BaseParams",
@@ -52,4 +53,5 @@ __all__ = [
     "DataLoader",
     "Dataset",
     "default_collate",
+    "BaseMethod",
 ]

@@ -69,6 +69,8 @@ def graft(
     """
 
     def get_path(tree, dotted):
+        if dotted == "":
+            return tree  # whole checkpoint (e.g. STEVE grafting a dVAE ckpt)
         node = tree
         for k in dotted.split("/"):
             if k not in node:

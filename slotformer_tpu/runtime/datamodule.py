@@ -191,9 +191,15 @@ class BaseDataModule:
         self.val_loader = (
             DataLoader(
                 val_set,
-                batch_size=int(params.get("val_batch_size", params.get("train_batch_size", 1))),
+                # keep the remainder batch (costs at most one extra jit
+                # compile for the odd shape; dropping it would silently skip
+                # small val sets entirely)
+                batch_size=min(
+                    int(params.get("val_batch_size", params.get("train_batch_size", 1))),
+                    len(val_set),
+                ),
                 shuffle=False,
-                drop_last=True,
+                drop_last=False,
                 seed=seed,
                 num_workers=nw,
                 collate_fn=collate_fn,

@@ -1,0 +1,320 @@
+"""Trainer (``BaseMethod``) — the training strategy layer.
+
+Replaces ``nerv.training.BaseMethod`` (reference surface documented in
+SURVEY.md §1 L1/§2.1 R1): epoch loop, optimizer + per-step cosine schedule,
+grad clipping, periodic checkpoint save (``save_interval`` fraction of an
+epoch + epoch end), periodic validation (``eval_interval``), sanity-check
+validation before training, resume, scalar logging.
+
+TPU-native rewrite:
+  * one python process; the train step is a single jitted function over a
+    ('data','model') mesh — batch sharded on data, params/opt-state
+    replicated, gradient all-reduce inserted by XLA (replaces DDP+NCCL).
+  * schedules (LR, gumbel tau, loss-decay) are pure functions of the step
+    index evaluated INSIDE jit — no host-side mutable schedule state
+    (replaces nerv's ``_training_step_start`` mutation hooks,
+    base_slots/method.py:207-221, video_prediction/method.py:26-48).
+  * checkpoints are numpy pytrees via runtime.checkpoint (orbax-style
+    step-keyed files), saved asynchronously off the training thread.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..parallel import get_mesh, replicate, shard_batch
+from .checkpoint import load_checkpoint, save_checkpoint
+from .meters import MeterBank
+from .schedules import build_optimizer, cosine_annealing_warmup
+
+
+def _is_array(x) -> bool:
+    return hasattr(x, "shape") and hasattr(x, "dtype")
+
+
+def _device_batch(batch: dict) -> dict:
+    """Keep only array leaves (device-friendly) of a collated batch."""
+    return {k: v for k, v in batch.items() if _is_array(v)}
+
+
+class BaseMethod:
+    """Generic trainer for flax models following the loss-dict convention.
+
+    Model contract (SURVEY.md §2.1 R5): the flax module exposes
+      * ``train_loss(batch, **extras) -> {name: scalar}``
+      * ``eval_loss(batch) -> {name: scalar}``
+    and total loss = sum over params ``<name>_w`` weights.
+    """
+
+    # subtrees excluded from optimization (e.g. SlotFormer's frozen decoder)
+    frozen_prefixes: Sequence[str] = ()
+
+    def __init__(
+        self,
+        model,
+        datamodule,
+        params,
+        ckp_path: str = "checkpoints/exp",
+        local_rank: int = 0,  # kept for reference API parity; always 0
+        use_ddp: bool = False,  # no-op: sharding replaces DDP
+        use_fp16: bool = False,
+        mesh=None,
+        seed: int = 42,
+    ):
+        self.model = model
+        self.datamodule = datamodule
+        self.params = params
+        self.ckp_path = ckp_path
+        self.use_fp16 = use_fp16
+        self.local_rank = 0
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.seed = int(params.get("seed", seed))
+
+        self.train_loader = datamodule.train_loader
+        self.val_loader = datamodule.val_loader
+        self.max_epochs = int(params.max_epochs)
+        self.steps_per_epoch = len(self.train_loader)
+        self.total_steps = self.max_epochs * self.steps_per_epoch
+        self.save_interval = float(params.get("save_interval", 1.0))
+        self.eval_interval = int(params.get("eval_interval", 1))
+        self.print_iter = int(params.get("print_iter", 50))
+        self.grad_accum = int(params.get("accum_grad", 1))
+
+        self.loss_weights = params.loss_weights()
+
+        self.it = 0  # global step
+        self.epoch = 0
+        self.stats = MeterBank()
+        self._log_file = None
+
+        self.optimizer = self._configure_optimizers()
+        self._train_step_fn = None
+        self._eval_step_fn = None
+        self.state = None  # dict(params=..., opt_state=..., rng=...)
+
+    # ------------------------------------------------------------ optimizer
+    def _configure_optimizers(self) -> optax.GradientTransformation:
+        return build_optimizer(
+            self.params, self.total_steps, frozen_prefixes=self.frozen_prefixes
+        )
+
+    # ----------------------------------------------------------- state init
+    def _init_rngs(self) -> Dict[str, jax.Array]:
+        root = jax.random.PRNGKey(self.seed)
+        ks = jax.random.split(root, 3)
+        return {"params": ks[0], "sample": ks[1], "dropout": ks[2]}
+
+    def setup_state(self, sample_batch: Optional[dict] = None) -> None:
+        """Initialize (or graft) params + opt state, replicated on the mesh."""
+        if sample_batch is None:
+            sample_batch = next(iter(self.val_loader or self.train_loader))
+        sample_batch = _device_batch(sample_batch)
+        variables = self.model.init(self._init_rngs(), sample_batch)
+        params = variables["params"]
+        params = self._post_init_params(params)
+        opt_state = self.optimizer.init(params)
+        rng = jax.random.PRNGKey(self.seed + 1)
+        self.state = {
+            "params": replicate(self.mesh, params),
+            "opt_state": replicate(self.mesh, opt_state),
+            "rng": rng,
+        }
+
+    def _post_init_params(self, params):
+        """Hook: graft pretrained subtrees (frozen decoders etc.)."""
+        return params
+
+    # -------------------------------------------------------- step schedules
+    def train_loss_kwargs(self, step: jnp.ndarray) -> Dict[str, Any]:
+        """Scheduled scalars passed into model.train_loss, as pure functions
+        of the (traced) step index. Subclasses override."""
+        return {}
+
+    # ------------------------------------------------------------ jit steps
+    def _make_train_step(self) -> Callable:
+        model = self.model
+        optimizer = self.optimizer
+        weights = dict(self.loss_weights)
+
+        def train_step(state, batch, step):
+            rng, sample_rng, dropout_rng = jax.random.split(state["rng"], 3)
+            extras = self.train_loss_kwargs(step)
+
+            def loss_fn(p):
+                losses = model.apply(
+                    {"params": p},
+                    batch,
+                    method="train_loss",
+                    rngs={"sample": sample_rng, "dropout": dropout_rng},
+                    **extras,
+                )
+                total = jnp.zeros((), jnp.float32)
+                for k, v in losses.items():
+                    total = total + weights.get(k, 1.0) * v
+                losses["total_loss"] = total
+                return total, losses
+
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"]
+            )
+            updates, new_opt = optimizer.update(
+                grads, state["opt_state"], state["params"]
+            )
+            new_params = optax.apply_updates(state["params"], updates)
+            new_state = {"params": new_params, "opt_state": new_opt, "rng": rng}
+            losses["grad_norm"] = optax.global_norm(grads)
+            return new_state, losses
+
+        return jax.jit(train_step, donate_argnums=0)
+
+    def _make_eval_step(self) -> Callable:
+        model = self.model
+
+        def eval_step(state, batch):
+            return model.apply(
+                {"params": state["params"]},
+                batch,
+                method="eval_loss",
+                rngs={"sample": jax.random.PRNGKey(0)},
+            )
+
+        return jax.jit(eval_step)
+
+    # ---------------------------------------------------------------- train
+    def fit(
+        self,
+        resume_from: str = "",
+        san_check_val_step: int = 2,
+    ) -> None:
+        if self.state is None:
+            self.setup_state()
+        if resume_from and os.path.isfile(resume_from):
+            self.load_ckp(resume_from)
+        self._train_step_fn = self._train_step_fn or self._make_train_step()
+        self._eval_step_fn = self._eval_step_fn or self._make_eval_step()
+        self._open_log()
+
+        if san_check_val_step > 0 and self.val_loader is not None:
+            self.validation_epoch(san_check_step=san_check_val_step)
+
+        save_every = max(int(self.steps_per_epoch * self.save_interval), 1)
+        start_epoch = self.it // self.steps_per_epoch
+        for epoch in range(start_epoch, self.max_epochs):
+            self.epoch = epoch
+            self.train_loader.set_epoch(epoch)
+            self._train_epoch(save_every)
+            if self.val_loader is not None and (epoch + 1) % self.eval_interval == 0:
+                self.validation_epoch()
+            self.save_ckp()
+        self._close_log()
+
+    def _train_epoch(self, save_every: int) -> None:
+        t0 = time.perf_counter()
+        for batch in self.train_loader:
+            batch = shard_batch(self.mesh, _device_batch(batch))
+            self.state, losses = self._train_step_fn(
+                self.state, batch, jnp.asarray(self.it, jnp.int32)
+            )
+            self.it += 1
+            if self.it % self.print_iter == 0:
+                losses = {k: float(v) for k, v in losses.items()}
+                dt = (time.perf_counter() - t0) / self.print_iter
+                t0 = time.perf_counter()
+                self._log(
+                    {
+                        "phase": "train",
+                        "step": self.it,
+                        "epoch": self.epoch,
+                        "sec_per_step": round(dt, 4),
+                        **{k: round(v, 6) for k, v in losses.items()},
+                    }
+                )
+            if self.it % save_every == 0:
+                self.save_ckp()
+
+    def validation_epoch(self, san_check_step: int = -1) -> Dict[str, float]:
+        self.stats.reset()
+        if self._eval_step_fn is None:
+            self._eval_step_fn = self._make_eval_step()
+        n_data = self.mesh.shape["data"]
+        for i, batch in enumerate(self.val_loader):
+            if 0 < san_check_step <= i:
+                break
+            db = _device_batch(batch)
+            n = next(v.shape[0] for v in db.values())
+            if n % n_data == 0:
+                db = shard_batch(self.mesh, db)
+            else:
+                # remainder batch: replicate instead of sharding (exact, just
+                # no data-parallel speedup for this one batch)
+                db = replicate(self.mesh, db)
+            losses = self._eval_step_fn(self.state, db)
+            self.stats.update({k: float(v) for k, v in losses.items()}, n=n)
+        avgs = self.stats.averages()
+        self._log({"phase": "val", "step": self.it, **{k: round(v, 6) for k, v in avgs.items()}})
+        return avgs
+
+    # ------------------------------------------------------------ ckpt / log
+    def save_ckp(self) -> None:
+        path = os.path.join(self.ckp_path, f"model_{self.it}.ckpt.pkl")
+        save_checkpoint(
+            path,
+            jax.device_get(self.state["params"]),
+            step=self.it,
+            opt_state=jax.device_get(self.state["opt_state"]),
+            rng=np.asarray(jax.device_get(self.state["rng"])),
+        )
+        # keep a stable pointer for consumers
+        latest = os.path.join(self.ckp_path, "latest.ckpt.pkl")
+        try:
+            if os.path.islink(latest) or os.path.exists(latest):
+                os.remove(latest)
+            os.symlink(os.path.basename(path), latest)
+        except OSError:
+            pass
+
+    def load_ckp(self, path: str) -> None:
+        ck = load_checkpoint(path)
+        self.it = int(ck.get("step", 0))
+        params = ck["state_dict"]
+        opt_state = ck.get("opt_state", None)
+        if opt_state is None:
+            opt_state = self.optimizer.init(params)
+        else:
+            # restore pytree structure from the template
+            tmpl = self.optimizer.init(params)
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(tmpl), jax.tree.leaves(opt_state)
+            )
+        rng = ck.get("rng", None)
+        rng = jnp.asarray(rng) if rng is not None else jax.random.PRNGKey(self.seed + 1)
+        self.state = {
+            "params": replicate(self.mesh, params),
+            "opt_state": replicate(self.mesh, opt_state),
+            "rng": rng,
+        }
+
+    def _open_log(self) -> None:
+        if self.ckp_path:
+            os.makedirs(self.ckp_path, exist_ok=True)
+            self._log_file = open(os.path.join(self.ckp_path, "log.jsonl"), "a")
+
+    def _close_log(self) -> None:
+        if self._log_file:
+            self._log_file.close()
+            self._log_file = None
+
+    def _log(self, record: dict) -> None:
+        line = json.dumps(record)
+        print(line, flush=True)
+        if self._log_file:
+            self._log_file.write(line + "\n")
+            self._log_file.flush()
