@@ -1,0 +1,203 @@
+"""Video-prediction evaluation CLI.
+
+Reference behavior (/root/reference/slotformer/video_prediction/test_vp.py):
+  * per-dataset rollout length (OBJ3D 50, CLEVRER 48 frames); CLEVRER also
+    evaluates masks/bboxes (ARI/FG-ARI/mIoU/AR)
+  * force use_img_recon_loss + load_img so rollouts are decoded to pixels
+  * per-rollout-step AverageMeters for every metric; saves per-metric .npy
+    + 10 comparison/mask/bbox videos under vis/<dataset>/<params>/
+
+TPU-native: the whole batch forward (rollout + decode) is one jitted call;
+metric math is batched on device (metrics.vp_metrics), only Hungarian/bbox
+matching on host. LPIPS is computed iff weights are available (--lpips).
+
+Usage:
+    python -m slotformer_tpu.cli.test_vp --params <cfg.py> --weight <ckpt.pkl>
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+METRICS = ["mse", "psnr", "ssim", "percept_dist", "ari", "fari", "miou", "ar"]
+
+
+def adjust_params(params, batch_size: int):
+    if batch_size > 0:
+        params.val_batch_size = batch_size
+    else:
+        params.val_batch_size = 12 if "obj3d" in params.dataset.lower() else 8
+    ds = params.dataset.lower()
+    if "obj3d" in ds:
+        num_frames = 50
+    elif "clevrer" in ds:
+        num_frames = 48
+        params.load_mask = True
+    elif "synthetic" in ds:
+        num_frames = params.get("video_len", 20)
+        params.load_mask = True
+    else:
+        raise NotImplementedError(f"Unknown dataset: {params.dataset}")
+    params.n_sample_frames = num_frames
+    params.loss_dict["rollout_len"] = num_frames - params.input_frames
+    params.loss_dict["use_img_recon_loss"] = True
+    params.load_img = True
+    return params
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="evaluate video prediction")
+    parser.add_argument("--params", required=True)
+    parser.add_argument("--weight", required=True)
+    parser.add_argument("--batch_size", type=int, default=-1)
+    parser.add_argument("--save_num", type=int, default=-1)
+    parser.add_argument("--lpips", default="", help="LPIPS weights file")
+    parser.add_argument("--vis_dir", default="vis")
+    parser.add_argument("--max_batches", type=int, default=-1)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from ..datasets import build_dataset
+    from ..metrics import (
+        load_lpips,
+        masks_to_boxes,
+        postproc_mask,
+        pred_eval_step,
+    )
+    from ..metrics.vis import batch_draw_bbox, colorize_mask, make_video
+    from ..models import build_model
+    from ..runtime import (
+        AverageMeter,
+        BaseDataModule,
+        load_params,
+        load_state_dict,
+        mkdir_or_exist,
+        save_video,
+    )
+
+    params = load_params(args.params)
+    params = adjust_params(params, args.batch_size)
+    cfg_name = os.path.splitext(os.path.basename(args.params))[0]
+
+    val_set = build_dataset(params, val_only=True)
+    datamodule = BaseDataModule(params, train_set=None, val_set=val_set)
+    val_loader = datamodule.val_loader
+
+    model = build_model(params)
+    params_tree = load_state_dict(args.weight)
+
+    lpips_fn = load_lpips(args.lpips)
+    if lpips_fn is None:
+        print("[test_vp] LPIPS weights unavailable -> percept_dist reported as 0")
+
+    history_len = params.input_frames
+    rollout_len = params.n_sample_frames - history_len
+    eval_traj = params.get("load_mask", False)
+    num_slots = params.slot_dict["num_slots"]
+
+    @jax.jit
+    def forward(p, batch):
+        out = model.apply({"params": p}, batch)
+        pred_mask = postproc_mask(out["masks"])  # [B, T_ro, N, H, W, 1] -> ids
+        pred_bbox = masks_to_boxes(pred_mask, num_slots)
+        return out["recon_combined"], pred_mask, pred_bbox
+
+    meters = {m: [AverageMeter() for _ in range(rollout_len)] for m in METRICS}
+    save_videos, save_mask_videos, save_bbox_videos = [], [], []
+    video_num = 10 if args.save_num <= 0 else args.save_num
+    only_vis = args.save_num > 0
+
+    for bi, batch in enumerate(val_loader):
+        if args.max_batches > 0 and bi >= args.max_batches:
+            break
+        db = {k: v for k, v in batch.items() if hasattr(v, "shape")}
+        gt = db["img"][:, history_len:]
+        B = gt.shape[0]
+        gt_mask = db["mask"][:, history_len:].astype(np.int64) if "mask" in db else None
+        gt_bbox = db["bbox"][:, history_len:] if "bbox" in db else None
+        gt_pres = (
+            db["pres_mask"][:, history_len:].astype(bool) if "pres_mask" in db else None
+        )
+
+        pred, pred_mask, pred_bbox = forward(params_tree, db)
+        pred = np.asarray(pred)
+        pred_mask = np.asarray(pred_mask)
+        pred_bbox = np.asarray(pred_bbox)
+
+        traj = eval_traj and gt_mask is not None
+        md = pred_eval_step(
+            gt=gt,
+            pred=pred,
+            lpips_fn=lpips_fn,
+            gt_mask=gt_mask if traj else None,
+            pred_mask=pred_mask if traj else None,
+            gt_pres_mask=gt_pres if traj else None,
+            gt_bbox=gt_bbox if traj else None,
+            pred_bbox=pred_bbox if traj else None,
+            eval_traj=traj,
+            num_classes=max(num_slots, int(gt_mask.max()) + 1) if traj else None,
+        )
+        for i in range(rollout_len):
+            for m in METRICS:
+                meters[m][i].update(md[m][i], B)
+
+        flag = False
+        for i in range(B):
+            if len(save_videos) >= video_num:
+                flag = only_vis
+                break
+            gt_video = db["img"][i]
+            pred_video = np.concatenate([gt_video[:history_len], pred[i]], 0)
+            save_videos.append(make_video(gt_video, pred_video, history_len))
+            if not traj:
+                continue
+            gmv = colorize_mask(db["mask"][i])
+            pmv = colorize_mask(
+                np.concatenate([db["mask"][i][:history_len], pred_mask[i]], 0)
+            )
+            save_mask_videos.append(
+                np.concatenate([gmv, pmv], axis=1)
+            )
+            gt_bbox_vid = batch_draw_bbox(gt_video, db["bbox"][i], db["pres_mask"][i])
+            pred_bbox_all = np.concatenate(
+                [db["bbox"][i][:history_len, :num_slots], pred_bbox[i]], 0
+            )
+            pd_bbox_vid = batch_draw_bbox(pred_video, pred_bbox_all)
+            save_bbox_videos.append(make_video(gt_bbox_vid, pd_bbox_vid, history_len))
+        if flag:
+            break
+        print(f"[test_vp] batch {bi + 1}/{len(val_loader)}", flush=True)
+
+    save_dir = os.path.join(args.vis_dir, params.dataset.split("_")[0], cfg_name)
+    mkdir_or_exist(save_dir)
+    if save_videos:
+        save_video(
+            np.concatenate(save_videos, axis=2), os.path.join(save_dir, f"{cfg_name}.mp4"),
+            fps=4,
+        )
+        if save_mask_videos:
+            save_video(
+                np.concatenate(save_mask_videos, axis=2),
+                os.path.join(save_dir, f"{cfg_name}_mask.mp4"), fps=4,
+            )
+            save_video(
+                np.concatenate(
+                    [np.clip(v * 0.5 + 0.5, 0, 1) for v in save_bbox_videos], axis=2
+                ),
+                os.path.join(save_dir, f"{cfg_name}_bbox.mp4"), fps=4,
+            )
+    if only_vis:
+        return
+
+    results = {m: np.array([mm.avg for mm in v]) for m, v in meters.items()}
+    for k, v in results.items():
+        np.save(os.path.join(save_dir, f"{k}.npy"), v)
+        print(f"{k}: {v.mean():.4f}")
+
+
+if __name__ == "__main__":
+    main()
