@@ -68,6 +68,7 @@ def build_model(params):
             resolution=tuple(params.resolution),
             clip_len=params.input_frames,
             slot_dict=params.slot_dict,
+            dvae_dict=params.dvae_dict,
             enc_dict=params.enc_dict,
             dec_dict=params.dec_dict,
             pred_dict=params.pred_dict,
@@ -80,6 +81,7 @@ def build_model(params):
             resolution=tuple(params.resolution),
             clip_len=params.get("n_sample_frames", 16),
             slot_dict=params.slot_dict,
+            dvae_dict=params.dvae_dict,
             dec_dict=params.dec_dict,
             rollout_dict=params.rollout_dict,
             loss_dict=params.loss_dict,

@@ -79,15 +79,19 @@ class SAViCell(nn.Module):
     kernel_mlp: bool
     stochastic: bool  # kld_method != 'none'
     with_mask: bool = False
+    # STEVE has no kernel-distribution head: predictor output feeds SA
+    # directly (steve.py:198-222)
+    use_kernel_head: bool = True
     eps: float = 1e-6
 
     def setup(self):
         self.predictor = build_predictor(
             self.slot_size, self.slot_mlp_size, self.pred_dict
         )
-        self.kernel_dist_layer = KernelDistLayer(
-            self.slot_size, kernel_mlp=self.kernel_mlp
-        )
+        if self.use_kernel_head:
+            self.kernel_dist_layer = KernelDistLayer(
+                self.slot_size, kernel_mlp=self.kernel_mlp
+            )
         sa_cls = SlotAttentionWMask if self.with_mask else SlotAttention
         self.slot_attention = sa_cls(
             in_features=self.in_features,
@@ -111,13 +115,17 @@ class SAViCell(nn.Module):
             lambda old, new: jnp.where(is_first, old, new), pred_state, new_state
         )
 
-        kernel_dist = self.kernel_dist_layer(latents)
-        mu, log_var = jnp.split(kernel_dist, 2, axis=-1)
-        if self.stochastic:
-            eps = jax.random.normal(self.make_rng("sample"), mu.shape, mu.dtype)
-            kernels = mu + eps * jnp.exp(0.5 * log_var)
+        if self.use_kernel_head:
+            kernel_dist = self.kernel_dist_layer(latents)
+            mu, log_var = jnp.split(kernel_dist, 2, axis=-1)
+            if self.stochastic:
+                eps = jax.random.normal(self.make_rng("sample"), mu.shape, mu.dtype)
+                kernels = mu + eps * jnp.exp(0.5 * log_var)
+            else:
+                kernels = mu
         else:
-            kernels = mu
+            kernel_dist = jnp.concatenate([latents, jnp.zeros_like(latents)], -1)
+            kernels = latents
 
         if self.with_mask:
             post_slots, masks = self.slot_attention(feat_t, kernels)
@@ -126,6 +134,62 @@ class SAViCell(nn.Module):
             masks = jnp.zeros((feat_t.shape[0], self.num_slots, feat_t.shape[1]))
 
         return (post_slots, pred_state), (kernel_dist, post_slots, masks)
+
+
+class FrameEncoder(nn.Module):
+    """CNN -> SoftPositionEmbed -> MLP head over one frame (savi.py:220-250).
+
+    Shared by StoSAVi and STEVE. [B', H, W, 3] -> [B', H'*W', C].
+    """
+
+    resolution: Tuple[int, int]
+    enc_dict: dict = None
+
+    def setup(self):
+        ed = self.enc_dict or {}
+        enc_channels = list(ed.get("enc_channels", (3, 64, 64, 64, 64)))
+        enc_ks = ed.get("enc_ks", 5)
+        enc_norm = ed.get("enc_norm", "")
+        self.enc_out_channels = ed.get("enc_out_channels", 128)
+        n_layers = len(enc_channels) - 1
+        # the reference hardcodes visual_resolution=(64, 64) for its two input
+        # sizes (64 stride-1 / 128 stride-2 first layer, savi.py:226,236);
+        # derived here so any resolution works.
+        stride0 = 2 if self.resolution[0] == 128 else 1
+        self.visual_resolution = (
+            self.resolution[0] // stride0,
+            self.resolution[1] // stride0,
+        )
+        self.visual_channels = enc_channels[-1]
+        self.layers = [
+            ConvNormAct(
+                enc_channels[i + 1],
+                kernel_size=enc_ks,
+                stride=2 if (i == 0 and self.resolution[0] == 128) else 1,
+                norm=enc_norm,
+                act="relu" if i != n_layers - 1 else "",
+                name=f"conv_{i}",
+            )
+            for i in range(n_layers)
+        ]
+        self.pos_embedding = SoftPositionEmbed(
+            self.visual_channels, self.visual_resolution
+        )
+        self.out_ln = nn.LayerNorm()
+        self.out_0 = nn.Dense(self.enc_out_channels)
+        self.out_1 = nn.Dense(self.enc_out_channels)
+
+    def __call__(self, img: jnp.ndarray) -> jnp.ndarray:
+        x = img
+        for layer in self.layers:
+            x = layer(x)
+        x = self.pos_embedding(x)
+        B, H, W, C = x.shape
+        x = x.reshape(B, H * W, C)
+        x = self.out_ln(x)
+        x = nn.relu(self.out_0(x))
+        x = self.out_1(x)
+        return x
 
 
 class SpatialBroadcastDecoder(nn.Module):
@@ -233,36 +297,14 @@ class StoSAVi(nn.Module):
         )
 
         # --- encoder: CNN -> pos emb -> MLP head
-        enc_channels = list(ed.get("enc_channels", (3, 64, 64, 64, 64)))
-        enc_ks = ed.get("enc_ks", 5)
-        enc_norm = ed.get("enc_norm", "")
-        n_layers = len(enc_channels) - 1
-        self.encoder = [
-            ConvNormAct(
-                enc_channels[i + 1],
-                kernel_size=enc_ks,
-                stride=2 if (i == 0 and self.resolution[0] == 128) else 1,
-                norm=enc_norm,
-                act="relu" if i != n_layers - 1 else "",
-                name=f"encoder_{i}",
-            )
-            for i in range(n_layers)
-        ]
-        # CNN output resolution: the reference hardcodes (64, 64) because its
-        # two input sizes are 64 (stride-1) and 128 (stride-2 first layer,
-        # savi.py:226,236); we derive it so tiny test shapes also work.
+        self.encoder = FrameEncoder(
+            resolution=self.resolution, enc_dict=self.enc_dict, name="encoder"
+        )
         stride0 = 2 if self.resolution[0] == 128 else 1
         self.visual_resolution = (
             self.resolution[0] // stride0,
             self.resolution[1] // stride0,
         )
-        self.visual_channels = enc_channels[-1]
-        self.encoder_pos_embedding = SoftPositionEmbed(
-            self.visual_channels, self.visual_resolution
-        )
-        self.encoder_out_ln = nn.LayerNorm()
-        self.encoder_out_0 = nn.Dense(self.enc_out_channels)
-        self.encoder_out_1 = nn.Dense(self.enc_out_channels)
 
         # --- decoder: spatial broadcast -> pos emb -> deconv stack -> RGBA
         self.decoder = SpatialBroadcastDecoder(
@@ -289,16 +331,7 @@ class StoSAVi(nn.Module):
     # ------------------------------------------------------------ components
     def _get_encoder_out(self, img: jnp.ndarray) -> jnp.ndarray:
         """[B', H, W, 3] -> [B', H'*W', C] per-pixel features."""
-        x = img
-        for layer in self.encoder:
-            x = layer(x)
-        x = self.encoder_pos_embedding(x)
-        B, H, W, C = x.shape
-        x = x.reshape(B, H * W, C)
-        x = self.encoder_out_ln(x)
-        x = nn.relu(self.encoder_out_0(x))
-        x = self.encoder_out_1(x)
-        return x
+        return self.encoder(img)
 
     def init_pred_state(self, batch_size: int):
         return self.cell.predictor.init_state(batch_size, self.num_slots)
