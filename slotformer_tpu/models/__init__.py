@@ -87,9 +87,21 @@ def build_model(params):
             loss_dict=params.loss_dict,
         )
     if name == "CLEVRERAloe":
+        from ..runtime.io import load_obj
         from .aloe import CLEVRERAloe
 
-        return CLEVRERAloe(transformer_dict=params.transformer_dict)
+        vocab = load_obj(params.vocab_file)
+        lang_dict = dict(
+            question_vocab_size=len(vocab["q_vocab"]),
+            answer_vocab_size=len(vocab["a_vocab"]),
+            question_len=params.max_question_len,
+        )
+        return CLEVRERAloe(
+            transformer_dict=params.transformer_dict,
+            lang_dict=lang_dict,
+            vision_dict=params.vision_dict,
+            loss_dict=params.loss_dict,
+        )
     if name == "PHYREReadout":
         from .readout import PHYREReadout
 
