@@ -43,12 +43,9 @@ def build_dataset(params, val_only=False):
     dst = params.dataset
     if "physion" in dst:
         # physion dataset names look like 'physion_xxx_$SUBSET'
-        from . import physion  # noqa: F401  (registers builders)
-
-        name = dst[: dst.rindex("_")]
-        return _BUILDERS[name](params, val_only=val_only)
-    if "phyre" in dst:
-        from . import phyre  # noqa: F401
-
-        return _BUILDERS[dst](params, val_only=val_only)
+        dst = dst[: dst.rindex("_")]
     return _BUILDERS[dst](params, val_only=val_only)
+
+
+# register the remaining task datasets (each module calls register_dataset)
+from . import clevrer_vqa, physion, phyre  # noqa: E402,F401

@@ -1,0 +1,236 @@
+"""CLEVRER VQA dataset (questions + precomputed slots).
+
+Behavioral spec: /root/reference/slotformer/clevrer_vqa/datasets/clevrer.py —
+question tokenization against the in-repo vocab cache, descriptive (cls) vs
+multiple-choice (mc) questions, cls questions padded to
+max_question_len+max_choice_len so both types share one token length,
+predictive questions reading the ROLLOUT TAIL when stored slots are longer
+than 150 frames (clevrer.py:365-374), optional object-order shuffling, and
+the subtype ids {descriptive:0, explanatory:1, predictive:2, counterfactual:3}.
+
+TPU-native divergence — ROW-BASED BATCHING (see models/aloe.py): instead of
+the reference's ragged ``mc_flag`` collate, every item is ONE
+(question [, choice]) row with static shapes:
+  - cls question  -> 1 row, label = answer class id
+  - mc question   -> one row per choice, label = 0/1
+Rows carry (scene_index, question_id, choice_id, q_subtype, is_cls) so the
+eval CLI regroups choices per question for all-correct MC scoring. At eval
+the frame start index is seeded per question so all rows of one question
+see the same frames.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Optional
+
+import numpy as np
+
+from ..runtime.datamodule import Dataset
+from ..runtime.io import load_obj
+
+_VOCAB_CACHE = osp.join(
+    osp.dirname(osp.realpath(__file__)), "cache", "CLEVRER_vocab.json"
+)
+
+Q_SUBTYPE2ID = {
+    "descriptive": 0,
+    "explanatory": 1,
+    "predictive": 2,
+    "counterfactual": 3,
+}
+
+
+class CLEVRERVQASlotsDataset(Dataset):
+    """Row-based (question[, choice]) dataset over precomputed slots."""
+
+    def __init__(
+        self,
+        data_root: str,
+        video_slots: dict,
+        vocab_file: str = _VOCAB_CACHE,
+        split: str = "train",
+        max_n_objects: int = 6,
+        video_len: int = 128,
+        n_sample_frames: int = 25,
+        max_question_len: int = 20,
+        max_choice_len: int = 12,
+        shuffle_obj: bool = False,
+    ):
+        assert split in ("train", "val", "test")
+        self.data_root = data_root
+        self.video_slots = video_slots
+        self.split = split
+        self.video_len = video_len
+        self.n_sample_frames = n_sample_frames
+        self.frame_offset = video_len // n_sample_frames
+        self.max_question_len = max_question_len
+        self.max_choice_len = max_choice_len
+        self.shuffle_obj = shuffle_obj
+
+        vocabs = load_obj(vocab_file)
+        self.q_vocab = vocabs["q_vocab"]
+        self.answer2label = vocabs["a_vocab"]
+        self.label2answer = {v: k for k, v in self.answer2label.items()}
+
+        self.rows = self._build_rows()
+        self.max_start = (
+            self.video_len - (self.n_sample_frames - 1) * self.frame_offset
+        )
+
+    # -------------------------------------------------------------- indexing
+    def _tokenize(self, text: str, pad_num: int):
+        words = text.lower().replace("?", "").split(" ")
+        toks = [self.q_vocab[w] for w in words if w]
+        pad_mask = np.ones(pad_num, bool)
+        pad_mask[: len(toks)] = False
+        toks = toks + [self.q_vocab["PAD"]] * (pad_num - len(toks))
+        return np.asarray(toks, np.int32), pad_mask
+
+    def _build_rows(self):
+        qfile = os.path.join(self.data_root, "questions", f"{self.split}.json")
+        scenes = load_obj(qfile)
+        L = self.max_question_len + self.max_choice_len
+        rows = []
+        for scene in scenes:
+            fn = scene["video_filename"]
+            sidx = scene["scene_index"]
+            for q in scene["questions"]:
+                subtype = Q_SUBTYPE2ID[q["question_type"]]
+                if q["question_type"] == "descriptive":
+                    toks, pad = self._tokenize(q["question"], L)
+                    label = (
+                        int(self.answer2label[q["answer"]])
+                        if "answer" in q
+                        else -1
+                    )
+                    rows.append(
+                        dict(
+                            video_fn=fn, scene_index=sidx,
+                            question_id=q["question_id"], choice_id=-1,
+                            q_subtype=subtype, is_cls=True, label=label,
+                            q_tokens=toks, q_pad_mask=pad,
+                        )
+                    )
+                else:
+                    q_toks, q_pad = self._tokenize(
+                        q["question"], self.max_question_len
+                    )
+                    for choice in q["choices"]:
+                        c_toks, c_pad = self._tokenize(
+                            choice["choice"], self.max_choice_len
+                        )
+                        label = (
+                            int(choice["answer"] == "correct")
+                            if "answer" in choice
+                            else 1
+                        )
+                        rows.append(
+                            dict(
+                                video_fn=fn, scene_index=sidx,
+                                question_id=q["question_id"],
+                                choice_id=choice["choice_id"],
+                                q_subtype=subtype, is_cls=False, label=label,
+                                q_tokens=np.concatenate([q_toks, c_toks]),
+                                q_pad_mask=np.concatenate([q_pad, c_pad]),
+                            )
+                        )
+        return rows
+
+    def __len__(self):
+        return len(self.rows)
+
+    # ----------------------------------------------------------------- reads
+    def _start_idx(self, row) -> int:
+        if self.split == "train":
+            return int(np.random.randint(0, self.max_start))
+        # eval: deterministic, shared by all rows of one question
+        rng = np.random.default_rng(
+            (hash(self.split) & 0xFFFF, row["scene_index"], row["question_id"])
+        )
+        return int(rng.integers(0, self.max_start))
+
+    def _get_slots(self, row, start_idx: int) -> np.ndarray:
+        embs = self.video_slots[row["video_fn"]]  # [T, N, C]
+        # predictive questions read the unrolled tail when present
+        if row["q_subtype"] == 2 and embs.shape[0] > 150:
+            start_idx += embs.shape[0] - self.video_len
+        sel = start_idx + self.frame_offset * np.arange(self.n_sample_frames)
+        embs = embs[sel]
+        if self.shuffle_obj:
+            perm = np.random.permutation(embs.shape[1])
+            embs = embs[:, perm]
+        return np.ascontiguousarray(embs.astype(np.float32))
+
+    def _rand_another(self, row_is_cls: bool):
+        same_type = [
+            i for i, r in enumerate(self.rows) if r["is_cls"] == row_is_cls
+        ]
+        return self[int(np.random.choice(same_type))]
+
+    def __getitem__(self, idx):
+        row = self.rows[idx]
+        start_idx = self._start_idx(row)
+        try:
+            video_emb = self._get_slots(row, start_idx)
+        except KeyError:
+            if self.split != "test":
+                return self._rand_another(row["is_cls"])
+            # test: keep question identity, borrow another video's slots
+            other = self._rand_another(row["is_cls"])
+            video_emb = other["video_emb"]
+        return {
+            "video_emb": video_emb,
+            "q_tokens": row["q_tokens"],
+            "q_pad_mask": row["q_pad_mask"],
+            "is_cls": row["is_cls"],
+            "label": np.int32(max(row["label"], 0)),
+            "raw_label": np.int32(row["label"]),
+            "q_subtype": np.int32(row["q_subtype"]),
+            "scene_index": np.int32(row["scene_index"]),
+            "question_id": np.int32(row["question_id"]),
+            "choice_id": np.int32(row["choice_id"]),
+            "data_idx": idx,
+        }
+
+    def get_answer_from_label(self, answer_labels: np.ndarray) -> np.ndarray:
+        shape = answer_labels.shape
+        flat = answer_labels.flatten()
+        return np.array([self.label2answer[int(l)] for l in flat]).reshape(shape)
+
+
+def build_clevrer_vqa_dataset(params, val_only=False, test_set=False):
+    """Builder matching the reference surface
+    (clevrer_vqa/datasets/__init__.py); returns (train, val) or test set.
+    No custom collate needed — rows are already dense."""
+    video_slots = load_obj(params.slots_root)
+    args = dict(
+        data_root=params.data_root,
+        video_slots=None,
+        vocab_file=params.get("vocab_file", _VOCAB_CACHE),
+        split="val",
+        max_n_objects=params.max_n_objects,
+        video_len=params.get("video_len", 128),
+        n_sample_frames=params.n_sample_frames,
+        max_question_len=params.max_question_len,
+        max_choice_len=params.max_choice_len,
+        shuffle_obj=params.get("shuffle_obj", False),
+    )
+    if test_set:
+        args["split"] = "test"
+        args["video_slots"] = video_slots["test"]
+        args["shuffle_obj"] = False
+        return CLEVRERVQASlotsDataset(**args)
+    args["video_slots"] = video_slots["val"]
+    val_dataset = CLEVRERVQASlotsDataset(**args)
+    if val_only:
+        return val_dataset
+    args["split"] = "train"
+    args["video_slots"] = video_slots["train"]
+    return CLEVRERVQASlotsDataset(**args), val_dataset
+
+
+from . import register_dataset  # noqa: E402
+
+register_dataset("clevrer_vqa", build_clevrer_vqa_dataset)
