@@ -157,12 +157,13 @@ def main(argv=None) -> None:
         os.path.dirname(os.path.abspath(args.weight)),
         os.path.basename(save_path),
     )
-    try:
-        if os.path.islink(link) or os.path.exists(link):
-            os.remove(link)
-        os.symlink(os.path.abspath(save_path), link)
-    except OSError:
-        pass
+    if os.path.abspath(link) != os.path.abspath(save_path):
+        try:
+            if os.path.islink(link) or os.path.exists(link):
+                os.remove(link)
+            os.symlink(os.path.abspath(save_path), link)
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":
