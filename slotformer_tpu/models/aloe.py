@@ -118,7 +118,7 @@ class CLEVRERTransformerModel(nn.Module):
         assert x.shape[1] == self.input_len, (
             f"input length {x.shape[1]} != configured {self.input_len}"
         )
-        x = x + self.pos_enc()
+        x = x + self.pos_enc().astype(x.dtype)
 
         pad_mask = jnp.concatenate(
             [jnp.zeros((B, 1 + T * N), bool), batch["q_pad_mask"].astype(bool)],

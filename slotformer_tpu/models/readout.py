@@ -66,7 +66,9 @@ class PHYREReadout(nn.Module):
         slots = self.in_proj(slots)  # [B, T, N, D]
         B, T, N, D = slots.shape
         pe = self.enc_t_pe()  # [1, T, D]
-        slots = (slots + pe[:, :, None, :]).reshape(B, T * N, D)
+        slots = (slots + pe[:, :, None, :].astype(slots.dtype)).reshape(
+            B, T * N, D
+        )
         cls_tok = jnp.broadcast_to(self.cls_param, (B, 1, D))
         x = jnp.concatenate([cls_tok, slots], axis=1)
         x = self.transformer_encoder(x, deterministic=deterministic)

@@ -84,7 +84,7 @@ class SlotRollouter(nn.Module):
         enc_pe = self._pos_enc()
 
         def step(mod, buf, _):
-            h = mod.in_proj(buf) + enc_pe
+            h = mod.in_proj(buf) + enc_pe.astype(buf.dtype)
             h = mod.transformer_encoder(h, deterministic=deterministic)
             pred = mod.out_proj(h[:, -mod.num_slots :])
             new_buf = jnp.concatenate([buf[:, mod.num_slots :], pred], axis=1)
@@ -167,7 +167,7 @@ class SingleStepSlotRollouter(nn.Module):
             # frames present in the buffer so far (history 1 + step_idx preds)
             n_valid = jnp.minimum(1 + step_idx, mod.cond_len) * N
             pad_mask = tok_pos < (L - n_valid)  # True = padded
-            h = mod.in_proj(buf) + enc_pe
+            h = mod.in_proj(buf) + enc_pe.astype(buf.dtype)
             h = mod.transformer_encoder(
                 h, key_padding_mask=pad_mask[None].repeat(B, axis=0),
                 deterministic=deterministic,
