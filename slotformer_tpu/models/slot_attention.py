@@ -36,6 +36,10 @@ class SlotAttentionBase(nn.Module):
     slot_size: int
     mlp_hidden_size: int
     eps: float = 1e-6
+    # opt-in fused Pallas kernel for the attention update (see
+    # ops/slot_attention_kernel.py STATUS note — XLA currently wins at
+    # reference shapes, the kernel is kept for future shapes/dtypes)
+    use_pallas: bool = False
 
     def setup(self):
         self.norm_inputs = nn.LayerNorm()
@@ -54,12 +58,17 @@ class SlotAttentionBase(nn.Module):
         """One slot-attention round. Returns (new_slots, attn [B, HW, S])."""
         scale = self.slot_size**-0.5
         q = self.project_q(self.project_q_norm(slots))  # [B, S, D]
-        attn_logits = scale * jnp.einsum("bnd,bsd->bns", k, q)
-        attn = nn.softmax(attn_logits, axis=-1)  # over slots: competition
-        # renormalize over the spatial dim, weighted mean of values
-        attn_w = attn + self.eps
-        attn_w = attn_w / jnp.sum(attn_w, axis=1, keepdims=True)
-        updates = jnp.einsum("bns,bnd->bsd", attn_w, v)
+        if self.use_pallas:
+            from ..ops import slot_attention_update
+
+            updates, attn = slot_attention_update(k, v, q * scale, self.eps)
+        else:
+            attn_logits = scale * jnp.einsum("bnd,bsd->bns", k, q)
+            attn = nn.softmax(attn_logits, axis=-1)  # over slots: competition
+            # renormalize over the spatial dim, weighted mean of values
+            attn_w = attn + self.eps
+            attn_w = attn_w / jnp.sum(attn_w, axis=1, keepdims=True)
+            updates = jnp.einsum("bns,bnd->bsd", attn_w, v)
         # GRU update: carry = prev slots, input = updates
         new_slots, _ = self.gru(slots, updates)
         new_slots = new_slots + self.mlp_out(
