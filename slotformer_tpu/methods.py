@@ -10,6 +10,7 @@ Mirrors the reference's per-task ``method.py`` files
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax.numpy as jnp
@@ -46,12 +47,99 @@ def build_method(model=None, datamodule=None, params=None, ckp_path="",
 class SAViMethod(BaseMethod):
     """StoSAVi training (reference base_slots/method.py:99-162)."""
 
+    def _sample_video(self) -> None:
+        """Save per-slot decomposition grids: [gt | recon | slot_0..N] rows
+        (reference _make_video_grid, base_slots/method.py:102-131) —
+        written to <ckp>/vis/ instead of wandb.Video."""
+        import jax
+        import numpy as np
+
+        from .runtime.io import save_video
+
+        n = int(self.params.get("n_samples", 5))
+        videos = self._sample_val_videos(n)
+
+        def fwd(p, img):
+            out = self.model.apply(
+                {"params": p}, {"img": img},
+                rngs={"sample": jax.random.PRNGKey(0)},
+            )
+            return (out["post_recon_combined"], out["post_recons"],
+                    out["post_masks"])
+
+        rows = []
+        for v in videos:
+            img = np.asarray(v["video"])[None]  # [1, T, H, W, 3]
+            recon, recons, masks = jax.device_get(
+                fwd(jax.device_get(self.state["params"]), img)
+            )
+            recon, recons, masks = recon[0], recons[0], masks[0]
+            gt = img[0]
+            per_slot = recons * masks + (1.0 - masks)  # white background
+            panels = [gt, recon] + [per_slot[:, s] for s in range(per_slot.shape[1])]
+            rows.append(np.concatenate(panels, axis=2))  # side by side
+        grid = np.concatenate(rows, axis=1)  # stack samples vertically
+        grid = np.clip(grid * 0.5 + 0.5, 0, 1)
+        save_video(grid, os.path.join(self._vis_dir(), f"decomp_{self.it}.mp4"),
+                   fps=8)
+
 
 class SlotFormerMethod(BaseMethod):
     """SlotFormer training: frozen SAVi decoder + temporal loss-decay ramp
     (reference video_prediction/method.py:24-62)."""
 
     frozen_prefixes = ("decoder",)
+
+    def _sample_video(self) -> None:
+        """Save [gt | gt-slot recon | rollout] comparison videos
+        (reference video_prediction/method.py:142-183)."""
+        import jax
+        import numpy as np
+
+        from .runtime.io import save_video
+
+        dst = self.val_loader.dataset
+        if not hasattr(dst, "video_slots") and not hasattr(dst, "base"):
+            raise NotImplementedError
+        n = int(self.params.get("n_samples", 5))
+        videos = self._sample_val_videos(n)
+        base = dst.base if hasattr(dst, "base") else dst
+        slots_dict = getattr(dst, "video_slots", None)
+        if slots_dict is None:
+            raise NotImplementedError
+        params_tree = jax.device_get(self.state["params"])
+        history = int(self.params.input_frames)
+        offset = int(self.params.get("frame_offset", 1) or 1)
+
+        def decode(p, slots):
+            return self.model.apply({"params": p}, slots, method="decode")[0]
+
+        def rollout(p, past, pred_len):
+            out = self.model.apply(
+                {"params": p}, past, pred_len, True, True, method="rollout"
+            )
+            return out["recon_combined"]
+
+        rows = []
+        for v in videos:
+            fn = base.files[v["data_idx"]]
+            fn = os.path.basename(fn)
+            if fn not in slots_dict:
+                continue
+            slots = np.asarray(slots_dict[fn][::offset], np.float32)
+            gt = np.asarray(v["video"])
+            T = min(len(slots), len(gt))
+            slots, gt = slots[:T], gt[:T]
+            recon = np.asarray(decode(params_tree, slots))  # [T, H, W, 3]
+            ro = np.asarray(
+                rollout(params_tree, slots[None, :history], T - history)
+            )[0]
+            rows.append(np.concatenate([gt, recon, ro], axis=2))
+        if not rows:
+            return
+        grid = np.clip(np.concatenate(rows, axis=1) * 0.5 + 0.5, 0, 1)
+        save_video(grid, os.path.join(self._vis_dir(), f"rollout_{self.it}.mp4"),
+                   fps=8)
 
     def _post_init_params(self, params):
         ckp = (self.params.get("dec_dict") or {}).get("dec_ckp_path", "")

@@ -94,6 +94,23 @@ class BaseMethod:
         self.epoch = 0
         self.stats = MeterBank()
         self._log_file = None
+        self._wandb = None
+        if params.get("use_wandb", False):
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(
+                    project=params.get("project", "slotformer-tpu"),
+                    name=os.path.basename(ckp_path.rstrip("/")),
+                    config=params.to_dict(),
+                    resume="allow",
+                )
+            except Exception as e:  # offline envs
+                print(f"[warn] wandb unavailable: {e}", flush=True)
+        # jax.profiler trace: set profile_steps=(start, stop) in params to
+        # capture a device trace under <ckp_path>/profile
+        self._profile_steps = params.get("profile_steps", None)
 
         self.optimizer = self._configure_optimizers()
         self._train_step_fn = None
@@ -219,11 +236,18 @@ class BaseMethod:
     def _train_epoch(self, save_every: int) -> None:
         t0 = time.perf_counter()
         for batch in self.train_loader:
+            if self._profile_steps and self.it == int(self._profile_steps[0]):
+                jax.profiler.start_trace(os.path.join(self.ckp_path, "profile"))
             batch = shard_batch(self.mesh, _device_batch(batch))
             self.state, losses = self._train_step_fn(
                 self.state, batch, jnp.asarray(self.it, jnp.int32)
             )
             self.it += 1
+            if self._profile_steps and self.it == int(self._profile_steps[1]):
+                jax.tree.map(lambda x: x.block_until_ready(), losses)
+                jax.profiler.stop_trace()
+                print(f"[profile] trace saved under {self.ckp_path}/profile",
+                      flush=True)
             if self.it % self.print_iter == 0:
                 losses = {k: float(v) for k, v in losses.items()}
                 dt = (time.perf_counter() - t0) / self.print_iter
@@ -260,7 +284,39 @@ class BaseMethod:
             self.stats.update({k: float(v) for k, v in losses.items()}, n=n)
         avgs = self.stats.averages()
         self._log({"phase": "val", "step": self.it, **{k: round(v, 6) for k, v in avgs.items()}})
+        if san_check_step <= 0 and int(self.params.get("n_samples", 0)) > 0:
+            try:
+                self._sample_video()
+            except NotImplementedError:
+                pass
+            except Exception as e:  # vis must never kill training
+                print(f"[warn] _sample_video failed: {e}", flush=True)
         return avgs
+
+    # ---------------------------------------------------------- media logging
+    def _sample_video(self) -> None:
+        """Hook: save qualitative videos each val epoch (reference
+        base_slots/method.py:133-162). Subclasses implement."""
+        raise NotImplementedError
+
+    def _vis_dir(self) -> str:
+        d = os.path.join(self.ckp_path, "vis")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _sample_val_videos(self, n: int):
+        """Uniformly sample n whole videos from the val dataset
+        (reference _get_sample_idx, base_slots/method.py:50-56)."""
+        dst = self.val_loader.dataset
+        if not hasattr(dst, "get_video"):
+            raise NotImplementedError
+        base = dst.base if hasattr(dst, "base") else dst
+        n_videos = len(getattr(base, "files", []))
+        if n_videos == 0:
+            raise NotImplementedError
+        n = min(n, n_videos)
+        idxs = np.arange(0, n_videos, max(n_videos // n, 1))[:n]
+        return [base.get_video(int(i)) for i in idxs]
 
     # ------------------------------------------------------------ ckpt / log
     def save_ckp(self) -> None:
@@ -318,3 +374,11 @@ class BaseMethod:
         if self._log_file:
             self._log_file.write(line + "\n")
             self._log_file.flush()
+        if self._wandb is not None:
+            phase = record.get("phase", "train")
+            scalars = {
+                f"{phase}/{k}": v
+                for k, v in record.items()
+                if isinstance(v, (int, float)) and k not in ("step",)
+            }
+            self._wandb.log(scalars, step=record.get("step", self.it))
