@@ -67,7 +67,15 @@ class BaseTransforms:
 
 def rle_decode(rle: dict) -> np.ndarray:
     """Decode a COCO RLE dict {'size': [h, w], 'counts': str|bytes|list}
-    into a [h, w] uint8 mask. Column-major run order per COCO spec."""
+    into a [h, w] uint8 mask. Column-major run order per COCO spec.
+
+    Uses the native C decoder (slotformer_tpu/native.py, ~50x faster —
+    CLEVRER mask eval decodes ~300 masks/sample) when available."""
+    from ..native import rle_decode_native
+
+    native = rle_decode_native(rle)
+    if native is not None:
+        return native
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, (list, tuple)):

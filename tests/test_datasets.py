@@ -231,3 +231,19 @@ def test_synthetic_dataset_determinism():
     s = ds3[0]
     assert s["mask"].shape == (3, 32, 32)
     assert s["mask"].max() >= 1  # at least one object
+
+
+def test_native_rle_matches_numpy():
+    """The C decoder must agree with the numpy path on random masks."""
+    from slotformer_tpu.native import rle_decode_native
+    from slotformer_tpu.datasets import rle_decode
+
+    rng = np.random.default_rng(3)
+    for shape in [(17, 23), (64, 64), (3, 4)]:
+        mask = (rng.random(shape) > 0.55).astype(np.uint8)
+        rle = _rle_encode_compressed(mask)
+        native = rle_decode_native(rle)
+        if native is None:
+            pytest.skip("no C compiler available")
+        np.testing.assert_array_equal(native, mask)
+        np.testing.assert_array_equal(rle_decode(rle), mask)
