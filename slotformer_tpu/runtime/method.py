@@ -119,9 +119,12 @@ class BaseMethod:
 
     # ------------------------------------------------------------ optimizer
     def _configure_optimizers(self) -> optax.GradientTransformation:
-        return build_optimizer(
+        tx = build_optimizer(
             self.params, self.total_steps, frozen_prefixes=self.frozen_prefixes
         )
+        if self.grad_accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.grad_accum)
+        return tx
 
     # ----------------------------------------------------------- state init
     def _init_rngs(self) -> Dict[str, jax.Array]:
@@ -160,12 +163,27 @@ class BaseMethod:
         model = self.model
         optimizer = self.optimizer
         weights = dict(self.loss_weights)
+        use_bf16 = self.use_fp16  # bf16 is the TPU AMP dtype
+
+        def _to_bf16(tree):
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                tree,
+            )
 
         def train_step(state, batch, step):
             rng, sample_rng, dropout_rng = jax.random.split(state["rng"], 3)
             extras = self.train_loss_kwargs(step)
+            if use_bf16:
+                batch = _to_bf16(batch)
 
             def loss_fn(p):
+                # mixed precision: f32 master params, bf16 compute — the cast
+                # transposes to an f32 grad accumulation automatically
+                if use_bf16:
+                    p = _to_bf16(p)
                 losses = model.apply(
                     {"params": p},
                     batch,
@@ -173,6 +191,7 @@ class BaseMethod:
                     rngs={"sample": sample_rng, "dropout": dropout_rng},
                     **extras,
                 )
+                losses = {k: v.astype(jnp.float32) for k, v in losses.items()}
                 total = jnp.zeros((), jnp.float32)
                 for k, v in losses.items():
                     total = total + weights.get(k, 1.0) * v

@@ -195,3 +195,45 @@ def test_resume_roundtrip(tmp_path):
         jax.tree.leaves(final_params), jax.tree.leaves(jax.device_get(m2.state["params"]))
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_bf16_and_grad_accum(tmp_path):
+    """use_fp16 (bf16 compute) + accum_grad paths train and reduce loss."""
+    params = SFParams()
+    params.accum_grad = 2
+    params.max_epochs = 2
+    dm = BaseDataModule(params, _SyntheticSlots(32), None)
+    model = build_model(params)
+    method = build_method(
+        model=model, datamodule=dm, params=params,
+        ckp_path=str(tmp_path / "ckp"), use_fp16=True,
+    )
+    method.setup_state()
+    before = jax.device_get(method.state["params"]["rollouter"])
+    res = method_fit_and_track_sf(method)
+    # bf16 quantizes the logged loss so compare params, not loss readings
+    assert res["last"] <= res["first"], res
+    after = jax.device_get(method.state["params"]["rollouter"])
+    moved = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after))
+    )
+    assert moved > 1e-5, f"params did not move ({moved})"
+    # master params stayed f32
+    for leaf in jax.tree.leaves(method.state["params"]):
+        assert leaf.dtype == np.float32
+
+
+def method_fit_and_track_sf(method):
+    losses = []
+    orig = method._log
+
+    def spy(rec):
+        if rec.get("phase") == "train" and "slot_recon_loss" in rec:
+            losses.append(rec["slot_recon_loss"])
+        orig(rec)
+
+    method._log = spy
+    method.fit(san_check_val_step=0)
+    assert losses
+    return {"first": losses[0], "last": losses[-1]}
