@@ -257,7 +257,13 @@ class BaseMethod:
         for batch in self.train_loader:
             if self._profile_steps and self.it == int(self._profile_steps[0]):
                 jax.profiler.start_trace(os.path.join(self.ckp_path, "profile"))
-            batch = shard_batch(self.mesh, _device_batch(batch))
+            db = _device_batch(batch)
+            bs = next(v.shape[0] for v in db.values())
+            if bs % self.mesh.shape["data"] == 0:
+                batch = shard_batch(self.mesh, db)
+            else:
+                # batch smaller than the mesh (tiny debug runs): replicate
+                batch = replicate(self.mesh, db)
             self.state, losses = self._train_step_fn(
                 self.state, batch, jnp.asarray(self.it, jnp.int32)
             )

@@ -1,0 +1,163 @@
+"""End-to-end downstream training: Aloe VQA + readout heads through the
+full trainer on synthetic fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+
+from slotformer_tpu.methods import build_method
+from slotformer_tpu.models import build_model
+from slotformer_tpu.runtime import BaseDataModule, BaseParams, dump_obj
+
+
+@pytest.fixture()
+def vqa_setup(tmp_path):
+    # question fixture: 2 scenes x (1 cls + 1 mc with 2 choices)
+    scenes = []
+    for s in range(4):
+        scenes.append(
+            {
+                "scene_index": s,
+                "video_filename": f"video_{s:05d}.mp4",
+                "questions": [
+                    {
+                        "question_id": 0,
+                        "question": "what color is the sphere?",
+                        "question_type": "descriptive",
+                        "answer": "red" if s % 2 else "blue",
+                    },
+                    {
+                        "question_id": 1,
+                        "question": "which event will happen next?",
+                        "question_type": "predictive",
+                        "choices": [
+                            {"choice_id": 0, "choice": "the sphere collides",
+                             "answer": "correct"},
+                            {"choice_id": 1, "choice": "the cube collides",
+                             "answer": "wrong"},
+                        ],
+                    },
+                ],
+            }
+        )
+    for split in ("train", "val"):
+        os.makedirs(tmp_path / "questions", exist_ok=True)
+        dump_obj(scenes, str(tmp_path / "questions" / f"{split}.json"))
+    vocab = {
+        "q_vocab": {w: i for i, w in enumerate(
+            ["PAD", "what", "color", "is", "the", "sphere", "which", "event",
+             "will", "happen", "next", "collides", "cube"])},
+        "a_vocab": {"red": 0, "blue": 1},
+    }
+    dump_obj(vocab, str(tmp_path / "vocab.json"))
+    rng = np.random.default_rng(0)
+    slots = {
+        sp: {f"video_{s:05d}.mp4": rng.normal(size=(16, 3, 8)).astype(np.float32)
+             for s in range(4)}
+        for sp in ("train", "val")
+    }
+    dump_obj(slots, str(tmp_path / "slots.pkl"))
+    return tmp_path
+
+
+def test_aloe_vqa_training_e2e(vqa_setup, tmp_path):
+    tp = vqa_setup
+
+    class P(BaseParams):
+        model = "CLEVRERAloe"
+        dataset = "clevrer_vqa"
+        data_root = str(tp)
+        slots_root = str(tp / "slots.pkl")
+        vocab_file = str(tp / "vocab.json")
+        video_len = 16
+        n_sample_frames = 4
+        max_n_objects = 2
+        max_question_len = 6
+        max_choice_len = 4
+        shuffle_obj = False
+        max_epochs = 2
+        eval_interval = 1
+        print_iter = 1
+        optimizer = "Adam"
+        lr = 1e-3
+        warmup_steps_pct = 0.1
+        train_batch_size = 4
+        val_batch_size = 4
+        num_workers = 0
+        transformer_dict = dict(
+            input_len=4 * 3 + 10, input_dim=8, pos_enc="learnable",
+            num_layers=1, num_heads=2, ffn_dim=32, norm_first=True,
+            cls_mlp_size=16,
+        )
+        vision_dict = dict(vision_dim=8)
+        loss_dict = dict(use_mask_obj_loss=False)
+        cls_answer_loss_w = 1.0
+        mc_answer_loss_w = 1.0
+
+    from slotformer_tpu.datasets import build_dataset
+
+    params = P()
+    train_set, val_set = build_dataset(params)
+    assert len(train_set) == 4 * 3  # 4 scenes x (1 cls + 2 mc rows)
+    dm = BaseDataModule(params, train_set, val_set)
+    model = build_model(params)
+    method = build_method(model=model, datamodule=dm, params=params,
+                          ckp_path=str(tmp_path / "vqa_ckp"))
+    method.setup_state()
+    avgs = None
+    orig = method._log
+
+    def spy(rec):
+        nonlocal avgs
+        if rec.get("phase") == "val" and "descriptive_acc" in rec:
+            avgs = rec
+        orig(rec)
+
+    method._log = spy
+    method.fit(san_check_val_step=0)
+    assert avgs is not None
+    assert 0.0 <= avgs["descriptive_acc"] <= 1.0
+    assert 0.0 <= avgs["choice_acc"] <= 1.0
+    assert np.isfinite(avgs["cls_answer_loss"])
+
+
+def test_phyre_readout_training_e2e(tmp_path):
+    class _SlotsLabels:
+        def __init__(self, n=16, seed=0):
+            rng = np.random.default_rng(seed)
+            self.slots = rng.normal(size=(n, 5, 3, 8)).astype(np.float32)
+            self.labels = rng.integers(0, 2, size=n)
+
+        def __len__(self):
+            return len(self.labels)
+
+        def __getitem__(self, i):
+            return {"slots": self.slots[i], "label": int(self.labels[i]),
+                    "data_idx": i}
+
+    class P(BaseParams):
+        model = "PHYREReadout"
+        max_epochs = 2
+        eval_interval = 1
+        print_iter = 1
+        optimizer = "Adam"
+        lr = 1e-3
+        warmup_steps_pct = 0.1
+        train_batch_size = 8
+        val_batch_size = 8
+        num_workers = 0
+        readout_dict = dict(num_slots=3, slot_size=8, t_pe="sin", d_model=16,
+                            num_layers=1, num_heads=2, ffn_dim=32,
+                            norm_first=True, sel_slots=[0, 3])
+        vqa_loss_w = 1.0
+
+    params = P()
+    dm = BaseDataModule(params, _SlotsLabels(16), _SlotsLabels(8, seed=1))
+    model = build_model(params)
+    method = build_method(model=model, datamodule=dm, params=params,
+                          ckp_path=str(tmp_path / "ro_ckp"))
+    method.setup_state()
+    method.fit(san_check_val_step=0)
+    avgs = method.validation_epoch(san_check_step=1)
+    assert "vqa_loss" in avgs and "acc_0.50" in avgs
