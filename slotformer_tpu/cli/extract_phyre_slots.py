@@ -66,7 +66,15 @@ def extract_phyre_video_slots(model, params_tree, params, dataset, args) -> None
         )
         return slots
 
-    encode_fn = jax.jit(encode)
+    from ..parallel import get_mesh, replicate, shard_or_replicate
+
+    mesh = get_mesh()
+    params_tree = replicate(mesh, params_tree)
+    _encode = jax.jit(encode)
+
+    def encode_fn(p, imgs, rng):
+        return _encode(p, shard_or_replicate(mesh, imgs), rng)
+
     rng = jax.random.PRNGKey(0)
     bs = args.bs
     for i0 in range(start_idx, end_idx, bs):

@@ -57,6 +57,11 @@ def extract_video_slots(model, params_tree, dataset, batch_size: int,
     first_fn = jax.jit(encode_first)
     cont_fn = jax.jit(encode_cont)
 
+    from ..parallel import get_mesh, replicate, shard_or_replicate
+
+    mesh = get_mesh()
+    params_tree = replicate(mesh, params_tree)
+
     out: Dict[str, np.ndarray] = {}
     n_videos = len(dataset.files)
     names = [os.path.basename(f) for f in dataset.files]
@@ -90,6 +95,7 @@ def extract_video_slots(model, params_tree, dataset, batch_size: int,
             else:
                 pad = 0
             rng, sub = jax.random.split(rng)
+            chunk = shard_or_replicate(mesh, chunk)
             if carry is None:
                 slots, carry = first_fn(params_tree, chunk, sub)
             else:

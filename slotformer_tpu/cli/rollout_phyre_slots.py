@@ -74,10 +74,18 @@ def rollout_split(model, params_tree, dataset, save_root, args) -> None:
         start_idx = per * args.split
         end_idx = per * (args.split + 1) if args.split < args.total_split - 1 else total
 
+    from ..parallel import get_mesh, replicate, shard_or_replicate
+
+    mesh = get_mesh()
+    params_tree = replicate(mesh, params_tree)
+
     @jax.jit
-    def forward(p, slots):
+    def _forward(p, slots):
         out = model.apply({"params": p}, {"slots": slots})
         return out["pred_slots"]
+
+    def forward(p, slots):
+        return _forward(p, shard_or_replicate(mesh, slots))
 
     bs = args.bs
     for i0 in range(start_idx, end_idx, bs):

@@ -116,9 +116,17 @@ def main(argv=None) -> None:
     history_len = params.input_frames
     frame_offset = params.frame_offset
 
+    from ..parallel import get_mesh, replicate, shard_or_replicate
+
+    mesh = get_mesh()
+    params_tree = replicate(mesh, params_tree)
+
     @functools.partial(jax.jit, static_argnums=2)
-    def rollout_fn(p, past, pred_len):
+    def _rollout(p, past, pred_len):
         return model.apply({"params": p}, past, pred_len, method="rollout")
+
+    def rollout_fn(p, past, pred_len):
+        return _rollout(p, shard_or_replicate(mesh, past), pred_len)
 
     if args.task == "clevrer":
         obs_frames = 128 if args.obs_frames < 0 else args.obs_frames

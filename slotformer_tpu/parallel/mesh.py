@@ -62,6 +62,26 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
 
 
+def shard_or_replicate(mesh: Mesh, tree):
+    """Shard array leaves on the data axis when divisible, else replicate.
+
+    Used by offline inference CLIs (extraction / rollout) so the same code
+    drives 1 chip or a full mesh — the reference's nn.DataParallel
+    equivalent (SURVEY.md §2.6 'Inference DP')."""
+    n_data = mesh.shape[DATA_AXIS]
+    b_shard = batch_sharding(mesh)
+    r_shard = replicated(mesh)
+
+    def put(x):
+        if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
+            if x.shape[0] % n_data == 0:
+                return jax.device_put(x, b_shard)
+            return jax.device_put(x, r_shard)
+        return x
+
+    return jax.tree.map(put, tree)
+
+
 def pad_batch_to(batch, target_bs: int):
     """Pad the batch dim up to target_bs (repeat last sample) + valid mask.
 
