@@ -201,8 +201,8 @@ class STEVEMethod(BaseMethod):
     frozen_prefixes = ("dvae",)
 
     def _post_init_params(self, params):
-        ckp = (self.params.get("dec_dict") or {}).get("dvae_ckp_path", "") or \
-            self.params.get("dvae_ckp_path", "")
+        ckp = (self.params.get("dvae_dict") or {}).get("dvae_ckp_path", "")
+        assert ckp, "STEVE requires a pretrained dVAE (dvae_dict.dvae_ckp_path)"
         if ckp:
             src = load_state_dict(ckp)
             # a dVAE ckpt's state_dict root IS the dVAE param tree

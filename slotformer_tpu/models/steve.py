@@ -153,6 +153,12 @@ class STEVE(nn.Module):
 
     # --------------------------------------------------------------- forward
     def __call__(self, batch: dict, deterministic: bool = True, testing: bool = False):
+        if self.is_initializing():
+            # materialize the full dVAE (incl. decoder) so the pretrained
+            # ckpt can be grafted even when use_img_recon_loss is off
+            self.dvae.detokenize(
+                jnp.zeros((1, self.h, self.w, self.vocab_size))
+            )
         img = batch["img"]  # [B, T, H, W, 3]
         B, T = img.shape[:2]
         slots, masks, _, _ = self.encode(
