@@ -1,0 +1,16 @@
+#!/bin/bash
+# Full-pipeline convergence run on the real TPU chip (synthetic 64x64 data).
+set -e
+cd /root/repo
+export PYTHONPATH=/root/repo:$PYTHONPATH
+EXP=experiments/out_synth64
+mkdir -p $EXP
+python -m slotformer_tpu.cli.train --params experiments/synth64_savi_params.py \
+    --ckp_path $EXP/savi --san_check_val_step 1 2>&1 | tail -40
+python -m slotformer_tpu.cli.extract_slots --params experiments/synth64_savi_params.py \
+    --weight $EXP/savi/latest.ckpt.pkl --save_path $EXP/synth_slots.pkl \
+    --batch_size 16 --chunk_len 20
+python -m slotformer_tpu.cli.train --params experiments/synth64_sf_params.py \
+    --ckp_path $EXP/sf --san_check_val_step 1 2>&1 | tail -30
+python -m slotformer_tpu.cli.test_vp --params experiments/synth64_sf_params.py \
+    --weight $EXP/sf/latest.ckpt.pkl --batch_size 8 --vis_dir $EXP/vis

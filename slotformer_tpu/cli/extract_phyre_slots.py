@@ -22,7 +22,7 @@ import numpy as np
 def extract_phyre_video_slots(model, params_tree, params, dataset, args) -> None:
     import jax
 
-    from ..runtime.io import atomic_write_npy
+    from ..runtime.io import atomic_write_npy, symlink_force
 
     save_root = os.path.join(
         args.save_path,
@@ -33,16 +33,10 @@ def extract_phyre_video_slots(model, params_tree, params, dataset, args) -> None
     )
     os.makedirs(save_root, exist_ok=True)
     if args.split in (-1, 0):
-        link = os.path.join(
+        symlink_force(save_root, os.path.join(
             os.path.dirname(os.path.abspath(args.weight)),
             f"{dataset.split}_slots",
-        )
-        try:
-            if os.path.islink(link):
-                os.remove(link)
-            os.symlink(os.path.abspath(save_root), link)
-        except OSError:
-            pass
+        ))
 
     dataset.vid_len = args.vid_len * dataset.fps
     total = dataset.video_info.shape[0]
@@ -66,7 +60,7 @@ def extract_phyre_video_slots(model, params_tree, params, dataset, args) -> None
         )
         return slots
 
-    from ..parallel import get_mesh, replicate, shard_or_replicate
+    from ..parallel import get_mesh, pad_rows, replicate, shard_or_replicate
 
     mesh = get_mesh()
     params_tree = replicate(mesh, params_tree)
@@ -81,11 +75,7 @@ def extract_phyre_video_slots(model, params_tree, params, dataset, args) -> None
         idxs = list(range(i0, min(i0 + bs, end_idx)))
         batch = [dataset.get_video(i) for i in idxs]
         vids = np.stack([b["video"] for b in batch]).astype(np.float32)
-        true_b = vids.shape[0]
-        if true_b < bs:
-            vids = np.concatenate(
-                [vids, np.repeat(vids[-1:], bs - true_b, axis=0)]
-            )
+        vids = pad_rows(vids, bs)
         rng, sub = jax.random.split(rng)
         slots = np.asarray(encode_fn(params_tree, vids, sub))
         for k, i in enumerate(idxs):

@@ -57,7 +57,7 @@ def extract_video_slots(model, params_tree, dataset, batch_size: int,
     first_fn = jax.jit(encode_first)
     cont_fn = jax.jit(encode_cont)
 
-    from ..parallel import get_mesh, replicate, shard_or_replicate
+    from ..parallel import get_mesh, pad_rows, replicate, shard_or_replicate
 
     mesh = get_mesh()
     params_tree = replicate(mesh, params_tree)
@@ -76,11 +76,7 @@ def extract_video_slots(model, params_tree, dataset, batch_size: int,
         T = min(v.shape[0] for v in vids)
         batch = np.stack([v[:T] for v in vids]).astype(np.float32)
         # pad batch dim to batch_size for stable jit shapes
-        true_b = batch.shape[0]
-        if true_b < batch_size:
-            batch = np.concatenate(
-                [batch, np.repeat(batch[-1:], batch_size - true_b, axis=0)]
-            )
+        batch = pad_rows(batch, batch_size)
 
         all_slots = []
         carry = None
@@ -127,7 +123,7 @@ def main(argv=None) -> None:
 
     from ..datasets import build_dataset
     from ..models import build_model
-    from ..runtime import dump_obj, load_params, load_state_dict
+    from ..runtime import dump_obj, load_params, load_state_dict, symlink_force
 
     params = load_params(args.params)
     params.load_mask = False
@@ -163,13 +159,7 @@ def main(argv=None) -> None:
         os.path.dirname(os.path.abspath(args.weight)),
         os.path.basename(save_path),
     )
-    if os.path.abspath(link) != os.path.abspath(save_path):
-        try:
-            if os.path.islink(link) or os.path.exists(link):
-                os.remove(link)
-            os.symlink(os.path.abspath(save_path), link)
-        except OSError:
-            pass
+    symlink_force(save_path, link)
 
 
 if __name__ == "__main__":

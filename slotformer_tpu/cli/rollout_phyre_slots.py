@@ -51,20 +51,14 @@ class _SlotOnlyPHYREDataset:
 def rollout_split(model, params_tree, dataset, save_root, args) -> None:
     import jax
 
-    from ..runtime.io import atomic_write_npy
+    from ..runtime.io import atomic_write_npy, symlink_force
 
     os.makedirs(save_root, exist_ok=True)
     if args.split in (-1, 0):
-        link = os.path.join(
+        symlink_force(save_root, os.path.join(
             os.path.dirname(os.path.abspath(args.weight)),
             f"{dataset.split}_slots",
-        )
-        try:
-            if os.path.islink(link):
-                os.remove(link)
-            os.symlink(os.path.abspath(save_root), link)
-        except OSError:
-            pass
+        ))
 
     total = len(dataset)
     if args.split == -1:
@@ -74,7 +68,7 @@ def rollout_split(model, params_tree, dataset, save_root, args) -> None:
         start_idx = per * args.split
         end_idx = per * (args.split + 1) if args.split < args.total_split - 1 else total
 
-    from ..parallel import get_mesh, replicate, shard_or_replicate
+    from ..parallel import get_mesh, pad_rows, replicate, shard_or_replicate
 
     mesh = get_mesh()
     params_tree = replicate(mesh, params_tree)
@@ -108,11 +102,7 @@ def rollout_split(model, params_tree, dataset, save_root, args) -> None:
             s if s is not None else np.zeros_like(slots_in[0]) for s in slots_in
         ]
         batch = np.stack(slots_in)
-        true_b = batch.shape[0]
-        if true_b < bs:
-            batch = np.concatenate(
-                [batch, np.repeat(batch[-1:], bs - true_b, axis=0)]
-            )
+        batch = pad_rows(batch, bs)
         preds = np.asarray(forward(params_tree, batch))  # [B, T-1, N, C]
         full = np.concatenate([batch[:, :1], preds], axis=1)
         assert full.shape[1] == batch.shape[1]

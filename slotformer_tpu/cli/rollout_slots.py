@@ -52,10 +52,9 @@ def interleaved_rollout(
             [slots_dict[n][:obs_frames] for n in batch_names]
         ).astype(np.float32)  # [B, obs, N, C]
         true_b = obs.shape[0]
-        if true_b < batch_size:  # stable jit shapes
-            obs = np.concatenate(
-                [obs, np.repeat(obs[-1:], batch_size - true_b, axis=0)]
-            )
+        from ..parallel import pad_rows
+
+        obs = pad_rows(obs, batch_size)  # stable jit shapes
         B = obs.shape[0]
         pad = np.zeros(
             (B, target_len - obs_frames) + obs.shape[2:], np.float32
@@ -107,7 +106,8 @@ def main(argv=None) -> None:
     import jax
 
     from ..models import build_model
-    from ..runtime import dump_obj, load_obj, load_params, load_state_dict, mkdir_or_exist
+    from ..runtime import (dump_obj, load_obj, load_params, load_state_dict,
+                           mkdir_or_exist, symlink_force)
 
     params = load_params(args.params)
     params.loss_dict["use_img_recon_loss"] = False
@@ -170,13 +170,7 @@ def main(argv=None) -> None:
     dump_obj(out, args.save_path)
     print(f"[rollout] saved -> {args.save_path}", flush=True)
     link = os.path.join(os.path.dirname(os.path.abspath(args.weight)), link_name)
-    if os.path.abspath(link) != os.path.abspath(args.save_path):
-        try:
-            if os.path.islink(link) or os.path.exists(link):
-                os.remove(link)
-            os.symlink(os.path.abspath(args.save_path), link)
-        except OSError:
-            pass
+    symlink_force(args.save_path, link)
 
 
 if __name__ == "__main__":

@@ -43,12 +43,10 @@ def _forward_rows(model, params_tree, dataset, batch_size, max_batches=-1):
         if 0 < max_batches <= bi:
             break
         db = {k: v for k, v in batch.items() if hasattr(v, "shape")}
+        from ..parallel import pad_rows
+
         true_b = db["q_tokens"].shape[0]
-        if true_b < batch_size:  # pad for stable jit shapes
-            for k in db:
-                db[k] = np.concatenate(
-                    [db[k], np.repeat(db[k][-1:], batch_size - true_b, axis=0)]
-                )
+        db = {k: pad_rows(v, batch_size) for k, v in db.items()}
         cls_ans, mc_logits = forward(params_tree, db)
         cls_ans = np.asarray(cls_ans)[:true_b]
         mc_pred = np.asarray(mc_logits)[:true_b] > 0

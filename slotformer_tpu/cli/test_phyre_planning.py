@@ -158,11 +158,10 @@ def main(argv=None) -> None:
         if not frames:
             continue
         batch = np.stack(frames)[:, None].astype(np.float32)  # [B, 1, H, W, 3]
+        from ..parallel import pad_rows
+
         true_b = batch.shape[0]
-        if true_b < bs:
-            batch = np.concatenate(
-                [batch, np.repeat(batch[-1:], bs - true_b, axis=0)]
-            )
+        batch = pad_rows(batch, bs)
         conf = np.asarray(score_actions(savi_tree, sf_tree, cls_tree, batch))
         for k, (t_id, a_id, status) in enumerate(metas):
             all_pred_conf[t_id, a_id] = conf[k]

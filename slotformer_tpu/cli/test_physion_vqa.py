@@ -65,12 +65,10 @@ def main(argv=None) -> None:
         probs, labels, tasks = [], [], []
         for batch in loader:
             db = {k: v for k, v in batch.items() if hasattr(v, "shape")}
+            from ..parallel import pad_rows
+
             true_b = db["slots"].shape[0]
-            if true_b < args.batch_size:
-                for k in db:
-                    db[k] = np.concatenate(
-                        [db[k], np.repeat(db[k][-1:], args.batch_size - true_b, 0)]
-                    )
+            db = {k: pad_rows(v, args.batch_size) for k, v in db.items()}
             logits = np.asarray(forward(p, db))[:true_b]
             probs.append(1.0 / (1.0 + np.exp(-logits)))
             labels.append(np.asarray(batch["label"])[:true_b])

@@ -145,9 +145,11 @@ class CLEVRERVQASlotsDataset(Dataset):
     def _start_idx(self, row) -> int:
         if self.split == "train":
             return int(np.random.randint(0, self.max_start))
-        # eval: deterministic, shared by all rows of one question
+        # eval: deterministic (stable across processes — python hash() is
+        # salted), shared by all rows of one question
+        split_seed = {"train": 0, "val": 1, "test": 2}[self.split]
         rng = np.random.default_rng(
-            (hash(self.split) & 0xFFFF, row["scene_index"], row["question_id"])
+            (split_seed, row["scene_index"], row["question_id"])
         )
         return int(rng.integers(0, self.max_start))
 

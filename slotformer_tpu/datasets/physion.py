@@ -221,13 +221,18 @@ class PhysionSlotsLabelDataset(PhysionSlotsDataset):
 
         if subset != "readout":
             bad = read_all_lines(osp.join(_SPLIT_DIR, "bad_stimuli.txt"))
-            keep = []
-            for f in self.files:
+            keep, keep_tasks = [], {}
+            for i, f in enumerate(self.files):
                 check = f.replace("-redyellow", "")
                 if not any(s in check for s in bad):
+                    # re-key the task map to the POST-filter index (the
+                    # reference keeps the stale pre-filter map, silently
+                    # mislabeling per-task accuracy — physion.py:298-310)
+                    keep_tasks[len(keep)] = self.video_idx2task_idx[i]
                     keep.append(f)
             removed = len(self.files) - len(keep)
             self.files = keep
+            self.video_idx2task_idx = keep_tasks
             print(f"remove {removed} files, now have {len(self.files)}")
 
     def _read_frames(self, file_idx):

@@ -87,10 +87,23 @@ class STEVESlotFormer(nn.Module):
 
     def rollout(self, past_slots, pred_len, decode=False, with_gt=True,
                 deterministic: bool = True):
-        return self.rollouter(
+        pred_slots = self.rollouter(
             past_slots[:, -self.history_len :], pred_len,
             deterministic=deterministic,
         )
+        if not decode:
+            return pred_slots
+        # autoregressive token decode is expensive; only the vis path asks
+        slots = (
+            jnp.concatenate([past_slots, pred_slots], axis=1)
+            if with_gt else pred_slots
+        )
+        B, T = slots.shape[:2]
+        soft, _ = self.decode(slots.reshape(B * T, self.num_slots, self.slot_size))
+        return {
+            "recon_combined": soft.reshape((B, T) + soft.shape[1:]),
+            "slots": slots,
+        }
 
     # --------------------------------------------------------------- forward
     def __call__(self, batch: dict, deterministic: bool = True):

@@ -4,6 +4,7 @@ from .mesh import (
     batch_sharding,
     get_mesh,
     pad_batch_to,
+    pad_rows,
     replicate,
     replicated,
     shard_batch,
@@ -16,6 +17,7 @@ __all__ = [
     "batch_sharding",
     "get_mesh",
     "pad_batch_to",
+    "pad_rows",
     "replicate",
     "replicated",
     "shard_batch",

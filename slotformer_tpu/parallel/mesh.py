@@ -82,6 +82,17 @@ def shard_or_replicate(mesh: Mesh, tree):
     return jax.tree.map(put, tree)
 
 
+def pad_rows(x: "np.ndarray", target: int) -> "np.ndarray":
+    """Pad the leading dim to ``target`` by repeating the last row (keeps jit
+    shapes static for remainder batches in offline CLIs)."""
+    import numpy as np
+
+    n = x.shape[0]
+    if n >= target:
+        return x
+    return np.concatenate([x, np.repeat(x[-1:], target - n, axis=0)])
+
+
 def pad_batch_to(batch, target_bs: int):
     """Pad the batch dim up to target_bs (repeat last sample) + valid mask.
 

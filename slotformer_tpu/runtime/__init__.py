@@ -11,6 +11,7 @@ from .io import (
     save_img,
     save_video,
     strip_suffix,
+    symlink_force,
 )
 from .meters import AverageMeter, MeanMetric, MeterBank
 from .schedules import build_optimizer, cosine_anneal, cosine_annealing_warmup
@@ -38,6 +39,7 @@ __all__ = [
     "save_img",
     "save_video",
     "strip_suffix",
+    "symlink_force",
     "AverageMeter",
     "MeanMetric",
     "MeterBank",

@@ -125,17 +125,29 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """put that aborts when the consumer abandoned the iterator
+            (a plain q.put would block forever and leak this thread + pool)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 for idxs in batches:
                     if stop.is_set():
                         return
                     try:
-                        q.put(self._load_batch(idxs, pool))
+                        if not put(self._load_batch(idxs, pool)):
+                            return
                     except Exception as e:  # propagate to consumer
-                        q.put(e)
+                        put(e)
                         return
-            q.put(_END)
+            put(_END)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

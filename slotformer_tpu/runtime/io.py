@@ -93,6 +93,25 @@ def strip_suffix(path: str) -> str:
     return os.path.splitext(path)[0]
 
 
+def symlink_force(target: str, link: str) -> None:
+    """Point ``link`` at ``target``, replacing whatever is there.
+
+    No-op when link == target (would clobber the artifact with a
+    self-symlink); swallows OS errors — artifact symlinks are a convenience,
+    never load-bearing.
+    """
+    target = os.path.abspath(target)
+    link = os.path.abspath(link)
+    if link == target:
+        return
+    try:
+        if os.path.islink(link) or os.path.exists(link):
+            os.remove(link)
+        os.symlink(target, link)
+    except OSError:
+        pass
+
+
 def read_all_lines(path: str) -> List[str]:
     with open(path, "r") as f:
         return [ln.rstrip("\n") for ln in f]

@@ -119,8 +119,11 @@ class BaseMethod:
 
     # ------------------------------------------------------------ optimizer
     def _configure_optimizers(self) -> optax.GradientTransformation:
+        # MultiSteps advances the inner schedule once per k loader steps, so
+        # the schedule horizon must be in OPTIMIZER steps, not loader steps
+        sched_steps = self.total_steps // self.grad_accum
         tx = build_optimizer(
-            self.params, self.total_steps, frozen_prefixes=self.frozen_prefixes
+            self.params, sched_steps, frozen_prefixes=self.frozen_prefixes
         )
         if self.grad_accum > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=self.grad_accum)
@@ -354,13 +357,9 @@ class BaseMethod:
             rng=np.asarray(jax.device_get(self.state["rng"])),
         )
         # keep a stable pointer for consumers
-        latest = os.path.join(self.ckp_path, "latest.ckpt.pkl")
-        try:
-            if os.path.islink(latest) or os.path.exists(latest):
-                os.remove(latest)
-            os.symlink(os.path.basename(path), latest)
-        except OSError:
-            pass
+        from .io import symlink_force
+
+        symlink_force(path, os.path.join(self.ckp_path, "latest.ckpt.pkl"))
 
     def load_ckp(self, path: str) -> None:
         ck = load_checkpoint(path)

@@ -160,3 +160,25 @@ def test_default_collate_types():
     assert out["b"].dtype == np.int32
     assert out["c"].dtype == np.float32
     assert out["d"] == ["x", "y"]
+
+
+def test_dataloader_abandoned_iterator_no_thread_leak():
+    """Abandoning a partially-consumed iterator must not leak the producer
+    thread (regression test for the blocking q.put)."""
+    import gc
+    import threading
+    import time
+
+    ds = _ToyDataset(64)
+    dl = DataLoader(ds, batch_size=4, num_workers=2, prefetch=1)
+    before = threading.active_count()
+    it = iter(dl)
+    next(it)
+    it.close()  # abandon
+    gc.collect()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, (
+        f"leaked threads: {threading.enumerate()}"
+    )

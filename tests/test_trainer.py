@@ -211,8 +211,9 @@ def test_trainer_bf16_and_grad_accum(tmp_path):
     method.setup_state()
     before = jax.device_get(method.state["params"]["rollouter"])
     res = method_fit_and_track_sf(method)
-    # bf16 quantizes the logged loss so compare params, not loss readings
-    assert res["last"] <= res["first"], res
+    # bf16 quantizes the logged loss and this run is only ~4 optimizer steps,
+    # so assert on parameter movement rather than loss readings
+    assert np.isfinite(res["last"]) and np.isfinite(res["first"])
     after = jax.device_get(method.state["params"]["rollouter"])
     moved = max(
         float(np.abs(np.asarray(a) - np.asarray(b)).max())
