@@ -163,9 +163,14 @@ def main(argv=None) -> None:
                 np.concatenate([gmv, pmv], axis=1)
             )
             gt_bbox_vid = batch_draw_bbox(gt_video, db["bbox"][i], db["pres_mask"][i])
-            pred_bbox_all = np.concatenate(
-                [db["bbox"][i][:history_len, :num_slots], pred_bbox[i]], 0
-            )
+            # pad/trim gt boxes to num_slots so history+rollout boxes concat
+            gt_b = db["bbox"][i][:history_len, :num_slots]
+            if gt_b.shape[1] < num_slots:
+                fill = -np.ones(
+                    (gt_b.shape[0], num_slots - gt_b.shape[1], 4), np.float32
+                )
+                gt_b = np.concatenate([gt_b, fill], axis=1)
+            pred_bbox_all = np.concatenate([gt_b, pred_bbox[i]], 0)
             pd_bbox_vid = batch_draw_bbox(pred_video, pred_bbox_all)
             save_bbox_videos.append(make_video(gt_bbox_vid, pd_bbox_vid, history_len))
         if flag:

@@ -83,7 +83,10 @@ class SyntheticVideoDataset(Dataset):
 
     def _video(self, video_idx):
         if video_idx not in self._cache:
-            if len(self._cache) > 64:
+            # a rendered 64x64x20 video is ~1 MB; cap well above typical
+            # dataset sizes — re-rendering in python dominates step time
+            # (measured 2.6 s/step vs 0.35 s/step warm)
+            if len(self._cache) > 1024:
                 self._cache.clear()
             self._cache[video_idx] = _render_video(
                 self._seed_base + video_idx,
@@ -123,11 +126,14 @@ class SyntheticSlotsDataset(Dataset):
     Obj3DSlotsDataset)."""
 
     def __init__(self, video_dataset: SyntheticVideoDataset, video_slots: dict,
-                 n_sample_frames: int = 16, load_img: bool = False):
+                 n_sample_frames: int = 16, load_img: bool = False,
+                 load_mask: bool = False, max_n_objects: int = 4):
         self.base = video_dataset
         self.video_slots = video_slots
         self.n_sample_frames = n_sample_frames
         self.load_img = load_img
+        self.load_mask = load_mask
+        self.max_n_objects = max_n_objects
         max_start = self.base.video_len - (n_sample_frames - 1) * self.base.frame_offset
         if self.base.split == "train":
             self.valid_idx = [
@@ -153,6 +159,22 @@ class SyntheticSlotsDataset(Dataset):
         if self.load_img:
             video, _ = self.base._video(video_idx)
             out["img"] = video[sel].copy()
+        if self.load_mask:
+            from .utils import masks_to_boxes_pad
+
+            _, masks = self.base._video(video_idx)
+            m = masks[sel]
+            out["mask"] = m.copy()
+            boxes = [
+                masks_to_boxes_pad(
+                    np.stack([(fr == c).astype(np.uint8)
+                              for c in range(1, self.max_n_objects + 1)]),
+                    self.max_n_objects + 1,
+                )
+                for fr in m
+            ]
+            out["bbox"] = np.stack([b[0] for b in boxes]).astype(np.float32)
+            out["pres_mask"] = np.stack([b[1] for b in boxes])
         return out
 
 
@@ -187,7 +209,9 @@ def build_synthetic_slots_dataset(params, val_only=False):
         frame_offset=params.frame_offset,
     )
     val_dataset = SyntheticSlotsDataset(
-        val_base, slots["val"], params.n_sample_frames, params.get("load_img", False)
+        val_base, slots["val"], params.n_sample_frames,
+        params.get("load_img", False), params.get("load_mask", False),
+        params.get("num_objects", 4),
     )
     if val_only:
         return val_dataset
