@@ -87,6 +87,10 @@ class BaseMethod:
         self.eval_interval = int(params.get("eval_interval", 1))
         self.print_iter = int(params.get("print_iter", 50))
         self.grad_accum = int(params.get("accum_grad", 1))
+        # fuse K optimizer steps into ONE device execution (lax.scan over
+        # stacked batches): amortizes per-execution dispatch/transfer
+        # overheads — essential on remote/tunneled devices, harmless locally
+        self.steps_per_call = max(int(params.get("steps_per_call", 1)), 1)
 
         self.loss_weights = params.loss_weights()
 
@@ -176,6 +180,8 @@ class BaseMethod:
                 tree,
             )
 
+        frozen = tuple(self.frozen_prefixes)
+
         def train_step(state, batch, step):
             rng, sample_rng, dropout_rng = jax.random.split(state["rng"], 3)
             extras = self.train_loss_kwargs(step)
@@ -183,6 +189,18 @@ class BaseMethod:
                 batch = _to_bf16(batch)
 
             def loss_fn(p):
+                # frozen subtrees: stop_gradient lets XLA dead-code-eliminate
+                # their weight-gradient computations entirely (the optimizer
+                # mask alone would still compute-then-zero them — e.g. the
+                # SlotFormer frozen decoder's deconv weight grads are ~1/3 of
+                # the backward FLOPs)
+                if frozen:
+                    p = {
+                        k: jax.lax.stop_gradient(v)
+                        if any(k.startswith(f) for f in frozen)
+                        else v
+                        for k, v in p.items()
+                    }
                 # mixed precision: f32 master params, bf16 compute — the cast
                 # transposes to an f32 grad accumulation automatically
                 if use_bf16:
@@ -212,7 +230,24 @@ class BaseMethod:
             losses["grad_norm"] = optax.global_norm(grads)
             return new_state, losses
 
-        return jax.jit(train_step, donate_argnums=0)
+        if self.steps_per_call == 1:
+            return jax.jit(train_step, donate_argnums=0)
+
+        # fused multi-step: lax.scan K optimizer steps over stacked batches in
+        # ONE device execution. losses returned from the LAST step only.
+        def multi_step(state, batches, step0):
+            def body(carry, xs):
+                st, i = carry
+                b, = xs
+                st, losses = train_step(st, b, step0 + i)
+                return (st, i + 1), losses
+
+            (state, _), losses = jax.lax.scan(
+                body, (state, jnp.zeros((), jnp.int32)), (batches,)
+            )
+            return state, jax.tree.map(lambda x: x[-1], losses)
+
+        return jax.jit(multi_step, donate_argnums=0)
 
     def _make_eval_step(self) -> Callable:
         model = self.model
@@ -255,28 +290,53 @@ class BaseMethod:
             self.save_ckp()
         self._close_log()
 
+    def _put_batch(self, batch: dict):
+        db = _device_batch(batch)
+        bs = next(v.shape[0] for v in db.values())
+        if bs % self.mesh.shape["data"] == 0:
+            return shard_batch(self.mesh, db)
+        # batch smaller than the mesh (tiny debug runs): replicate
+        return replicate(self.mesh, db)
+
     def _train_epoch(self, save_every: int) -> None:
         t0 = time.perf_counter()
+        pending = []  # batches awaiting a fused multi-step call
         for batch in self.train_loader:
             if self._profile_steps and self.it == int(self._profile_steps[0]):
                 jax.profiler.start_trace(os.path.join(self.ckp_path, "profile"))
-            db = _device_batch(batch)
-            bs = next(v.shape[0] for v in db.values())
-            if bs % self.mesh.shape["data"] == 0:
-                batch = shard_batch(self.mesh, db)
+            if self.steps_per_call > 1:
+                pending.append(_device_batch(batch))
+                if len(pending) < self.steps_per_call:
+                    continue
+                stacked = {
+                    k: np.stack([b[k] for b in pending]) for k in pending[0]
+                }
+                pending = []
+                # [K, B, ...]: batch dim (axis 1) sharded over the mesh
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                bs = next(v.shape[1] for v in stacked.values())
+                if bs % self.mesh.shape["data"] == 0:
+                    sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+                else:
+                    sh = NamedSharding(self.mesh, PartitionSpec())
+                batches = jax.device_put(stacked, sh)
+                self.state, losses = self._train_step_fn(
+                    self.state, batches, jnp.asarray(self.it, jnp.int32)
+                )
+                self.it += self.steps_per_call
             else:
-                # batch smaller than the mesh (tiny debug runs): replicate
-                batch = replicate(self.mesh, db)
-            self.state, losses = self._train_step_fn(
-                self.state, batch, jnp.asarray(self.it, jnp.int32)
-            )
-            self.it += 1
+                batch = self._put_batch(batch)
+                self.state, losses = self._train_step_fn(
+                    self.state, batch, jnp.asarray(self.it, jnp.int32)
+                )
+                self.it += 1
             if self._profile_steps and self.it == int(self._profile_steps[1]):
                 jax.tree.map(lambda x: x.block_until_ready(), losses)
                 jax.profiler.stop_trace()
                 print(f"[profile] trace saved under {self.ckp_path}/profile",
                       flush=True)
-            if self.it % self.print_iter == 0:
+            if self.it % self.print_iter < self.steps_per_call:
                 losses = {k: float(v) for k, v in losses.items()}
                 dt = (time.perf_counter() - t0) / self.print_iter
                 t0 = time.perf_counter()
@@ -289,7 +349,7 @@ class BaseMethod:
                         **{k: round(v, 6) for k, v in losses.items()},
                     }
                 )
-            if self.it % save_every == 0:
+            if self.it % save_every < self.steps_per_call:
                 self.save_ckp()
 
     def validation_epoch(self, san_check_step: int = -1) -> Dict[str, float]:

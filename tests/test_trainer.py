@@ -238,3 +238,26 @@ def method_fit_and_track_sf(method):
     method.fit(san_check_val_step=0)
     assert losses
     return {"first": losses[0], "last": losses[-1]}
+
+
+def test_fused_multi_step_training(tmp_path):
+    """steps_per_call > 1 fuses K optimizer steps into one device call."""
+    params = SFParams()
+    params.steps_per_call = 2
+    params.max_epochs = 2
+    dm = BaseDataModule(params, _SyntheticSlots(32), None)
+    model = build_model(params)
+    method = build_method(model=model, datamodule=dm, params=params,
+                          ckp_path=str(tmp_path / "ckp"))
+    method.setup_state()
+    before = jax.device_get(method.state["params"]["rollouter"])
+    method.fit(san_check_val_step=0)
+    # 2 epochs x 4 loader steps, all consumed in fused pairs
+    assert method.it == 8
+    after = jax.device_get(method.state["params"]["rollouter"])
+    moved = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after))
+    )
+    assert moved > 1e-5
+    assert os.path.exists(tmp_path / "ckp" / "latest.ckpt.pkl")
