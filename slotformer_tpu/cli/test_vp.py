@@ -90,9 +90,16 @@ def main(argv=None) -> None:
     model = build_model(params)
     params_tree = load_state_dict(args.weight)
 
-    lpips_fn = load_lpips(args.lpips)
-    if lpips_fn is None:
-        print("[test_vp] LPIPS weights unavailable -> percept_dist reported as 0")
+    lpips_fn = load_lpips(args.lpips, fallback="untrained")
+    if lpips_fn.source != "file":
+        print(
+            "[test_vp] " + "!" * 62 + "\n"
+            "[test_vp] !! no LPIPS weights file: percept_dist uses a seeded\n"
+            "[test_vp] !! UNTRAINED VGG (meaningful but NOT paper-comparable;\n"
+            "[test_vp] !! LPIPS paper §5). Convert the official weights with\n"
+            "[test_vp] !! scripts/convert_lpips.py and pass --lpips <file>.\n"
+            "[test_vp] " + "!" * 62
+        )
 
     history_len = params.input_frames
     rollout_len = params.n_sample_frames - history_len
@@ -107,6 +114,7 @@ def main(argv=None) -> None:
         return out["recon_combined"], pred_mask, pred_bbox
 
     meters = {m: [AverageMeter() for _ in range(rollout_len)] for m in METRICS}
+    traj_stats = {"batches": 0, "gt_ids_max": 0, "pred_ids_max": 0}
     save_videos, save_mask_videos, save_bbox_videos = [], [], []
     video_num = 10 if args.save_num <= 0 else args.save_num
     only_vis = args.save_num > 0
@@ -129,6 +137,12 @@ def main(argv=None) -> None:
         pred_bbox = np.asarray(pred_bbox)
 
         traj = eval_traj and gt_mask is not None
+        if traj:
+            traj_stats["batches"] += 1
+            traj_stats["gt_ids_max"] = max(traj_stats["gt_ids_max"], int(gt_mask.max()))
+            traj_stats["pred_ids_max"] = max(
+                traj_stats["pred_ids_max"], int(pred_mask.max())
+            )
         md = pred_eval_step(
             gt=gt,
             pred=pred,
@@ -202,6 +216,22 @@ def main(argv=None) -> None:
     for k, v in results.items():
         np.save(os.path.join(save_dir, f"{k}.npy"), v)
         print(f"{k}: {v.mean():.4f}")
+    # prove (or disprove) that the trajectory-metric path actually executed:
+    # ari == 0 is also the eval_traj=False zero-fill value (vp_metrics), so
+    # disambiguate in the log (VERDICT r1 weak #2)
+    print(
+        f"[test_vp] eval_traj={eval_traj} traj_batches={traj_stats['batches']} "
+        f"gt_mask_ids_max={traj_stats['gt_ids_max']} "
+        f"pred_mask_ids_max={traj_stats['pred_ids_max']} "
+        f"percept_dist_source={lpips_fn.source}"
+    )
+    if eval_traj and traj_stats["batches"] == 0:
+        print("[test_vp] WARNING: eval_traj requested but no batch had masks")
+    if traj_stats["batches"] and results["ari"].mean() == 0.0:
+        print(
+            "[test_vp] WARNING: trajectory path ran but ARI == 0 exactly -- "
+            "model at chance or mask pipeline broken"
+        )
 
 
 if __name__ == "__main__":
