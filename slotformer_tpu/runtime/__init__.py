@@ -24,6 +24,7 @@ from .checkpoint import (
 )
 from .datamodule import BaseDataModule, DataLoader, Dataset, default_collate
 from .method import BaseMethod
+from . import torch_compat
 
 __all__ = [
     "BaseParams",

@@ -1,0 +1,257 @@
+#!/usr/bin/env python
+"""Generate model-level golden fixtures by RUNNING the reference torch code.
+
+Loads the reference's actual model modules from /root/reference (read-only;
+executed, never copied) with a minimal in-memory ``nerv`` stub, seeds their
+weights, runs forward passes, and records {state_dict, inputs, outputs} into
+``model_goldens.npz``. ``tests/test_golden_parity.py`` then asserts the flax
+models reproduce the outputs bit-tightly after converting the weights with
+``slotformer_tpu.runtime.torch_compat`` — numerical parity evidence per
+SURVEY.md §4.
+
+Components:
+  g_sa      SlotAttention.forward, 2 iterations       (savi.py:16-110)
+  g_tp      TransformerPredictor.forward              (predictor.py:20-44)
+  g_mlp     ResidualMLPPredictor.forward              (predictor.py:47-73)
+  g_kd      kernel_dist_layer + _sample_dist, fixed eps (savi.py:190-200,355-365)
+  g_roll    SlotRollouter.forward, pred_len=3         (slotformer.py:48-134)
+  g_steve   STEVETransformerDecoder fwd + greedy generate (steve_transformer.py)
+  g_savi    StoSAVi.encode, T=4 video, RNN predictor  (savi.py:367-415)
+
+Run from the repo root:  python tests/golden/gen_model_goldens.py
+(needs /root/reference checked out; the committed .npz does not)
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import torch
+from torch import nn
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REF = os.environ.get("SLOTFORMER_REF", "/root/reference")
+
+
+# --------------------------------------------------------------- nerv stub
+def _install_nerv_stub():
+    """The reference imports the external `nerv` runtime; its model files only
+    need BaseModel (an nn.Module) and the conv builders. Builders follow
+    nerv's documented surface: Sequential(Conv, [norm], [act])."""
+    nerv = types.ModuleType("nerv")
+    training = types.ModuleType("nerv.training")
+    training.BaseModel = nn.Module
+    models = types.ModuleType("nerv.models")
+
+    def conv_norm_act(in_ch, out_ch, kernel_size=3, stride=1, norm="", act="relu"):
+        layers = [
+            nn.Conv2d(in_ch, out_ch, kernel_size, stride, padding=kernel_size // 2)
+        ]
+        assert norm in ("", None), "goldens only use norm=''"
+        if act == "relu":
+            layers.append(nn.ReLU())
+        else:
+            assert act in ("", None)
+        return nn.Sequential(*layers)
+
+    def deconv_norm_act(in_ch, out_ch, kernel_size=3, stride=1, norm="", act="relu"):
+        layers = [
+            nn.ConvTranspose2d(
+                in_ch, out_ch, kernel_size, stride,
+                padding=kernel_size // 2, output_padding=stride - 1,
+            )
+        ]
+        assert norm in ("", None)
+        if act == "relu":
+            layers.append(nn.ReLU())
+        else:
+            assert act in ("", None)
+        return nn.Sequential(*layers)
+
+    def deconv_out_shape(in_size, stride, padding, kernel_size, out_padding):
+        return (in_size - 1) * stride - 2 * padding + kernel_size + out_padding
+
+    models.conv_norm_act = conv_norm_act
+    models.deconv_norm_act = deconv_norm_act
+    models.deconv_out_shape = deconv_out_shape
+    nerv.training = training
+    nerv.models = models
+    sys.modules["nerv"] = nerv
+    sys.modules["nerv.training"] = training
+    sys.modules["nerv.models"] = models
+
+
+def _load(name, relpath, pkg_dir):
+    """Import a reference module file under a synthetic package so its
+    relative imports resolve, without executing package __init__ files."""
+    pkg_name = name.rsplit(".", 1)[0]
+    if pkg_name not in sys.modules:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = [pkg_dir]
+        sys.modules[pkg_name] = pkg
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF, relpath)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _sd_np(module):
+    return {k: v.detach().numpy().copy() for k, v in module.state_dict().items()}
+
+
+def _pack(store, tag, sd, inputs, outputs):
+    for k, v in sd.items():
+        store[f"{tag}/sd/{k}"] = v
+    for k, v in inputs.items():
+        store[f"{tag}/in/{k}"] = v
+    for k, v in outputs.items():
+        store[f"{tag}/out/{k}"] = v
+
+
+def main() -> None:
+    _install_nerv_stub()
+    base_dir = os.path.join(REF, "slotformer/base_slots/models")
+    vp_dir = os.path.join(REF, "slotformer/video_prediction/models")
+    savi_mod = _load("refbase.savi", "slotformer/base_slots/models/savi.py", base_dir)
+    pred_mod = sys.modules["refbase.predictor"]
+    stt_mod = _load(
+        "refbase.steve_transformer",
+        "slotformer/base_slots/models/steve_transformer.py",
+        base_dir,
+    )
+    # vp/slotformer.py imports `from slotformer.base_slots.models import StoSAVi`
+    shim = types.ModuleType("slotformer.base_slots.models")
+    shim.StoSAVi = savi_mod.StoSAVi
+    sys.modules["slotformer"] = types.ModuleType("slotformer")
+    sys.modules["slotformer.base_slots"] = types.ModuleType("slotformer.base_slots")
+    sys.modules["slotformer.base_slots.models"] = shim
+    sf_mod = _load(
+        "refvp.slotformer", "slotformer/video_prediction/models/slotformer.py", vp_dir
+    )
+
+    store = {}
+    rng = np.random.RandomState(0)
+
+    # ---- g_sa: SlotAttention, 2 iterations
+    torch.manual_seed(1)
+    sa = savi_mod.SlotAttention(
+        in_features=12, num_iterations=2, num_slots=4, slot_size=16,
+        mlp_hidden_size=32,
+    ).eval()
+    with torch.no_grad():
+        inputs = rng.randn(2, 20, 12).astype(np.float32)
+        slots0 = rng.randn(2, 4, 16).astype(np.float32)
+        out = sa(torch.from_numpy(inputs), torch.from_numpy(slots0))
+    _pack(store, "g_sa", _sd_np(sa), {"inputs": inputs, "slots": slots0},
+          {"slots": out.numpy()})
+
+    # ---- g_tp: TransformerPredictor
+    torch.manual_seed(2)
+    tp = pred_mod.TransformerPredictor(
+        d_model=16, num_layers=2, num_heads=4, ffn_dim=32, norm_first=True
+    ).eval()
+    with torch.no_grad():
+        x = rng.randn(2, 5, 16).astype(np.float32)
+        out = tp(torch.from_numpy(x))
+    _pack(store, "g_tp", _sd_np(tp), {"x": x}, {"out": out.numpy()})
+
+    # ---- g_mlp: ResidualMLPPredictor
+    torch.manual_seed(3)
+    mp = pred_mod.ResidualMLPPredictor([16, 32, 16], norm_first=True).eval()
+    with torch.no_grad():
+        x = rng.randn(2, 5, 16).astype(np.float32)
+        out = mp(torch.from_numpy(x))
+    _pack(store, "g_mlp", _sd_np(mp), {"x": x}, {"out": out.numpy()})
+
+    # ---- g_kd: kernel-dist head + sampling with fixed noise
+    torch.manual_seed(4)
+    D = 16
+    kd = nn.Sequential(
+        nn.Linear(D, D * 2), nn.LayerNorm(D * 2), nn.ReLU(), nn.Linear(D * 2, D * 2)
+    ).eval()  # structure: savi.py:191-197 (kernel_mlp=True)
+    with torch.no_grad():
+        x = rng.randn(2, 4, D).astype(np.float32)
+        eps = rng.randn(2, 4, D).astype(np.float32)
+        dist = kd(torch.from_numpy(x))
+        mu, log_var = dist[..., :D], dist[..., D:]
+        kernels = mu + torch.from_numpy(eps) * torch.exp(log_var * 0.5)
+    _pack(store, "g_kd", _sd_np(kd), {"x": x, "eps": eps},
+          {"dist": dist.numpy(), "kernels": kernels.numpy()})
+
+    # ---- g_roll: SlotRollouter, pred_len=3
+    torch.manual_seed(5)
+    roll = sf_mod.SlotRollouter(
+        num_slots=3, slot_size=8, history_len=4, t_pe="sin", slots_pe="",
+        d_model=16, num_layers=2, num_heads=2, ffn_dim=32, norm_first=True,
+    ).eval()
+    with torch.no_grad():
+        x = rng.randn(2, 4, 3, 8).astype(np.float32)
+        out = roll(torch.from_numpy(x), pred_len=3)
+    _pack(store, "g_roll", _sd_np(roll), {"x": x}, {"pred": out.numpy()})
+
+    # ---- g_steve: STEVE transformer decoder, teacher-forced + greedy generate
+    torch.manual_seed(6)
+    steve = stt_mod.STEVETransformerDecoder(
+        vocab_size=12, d_model=16, n_head=2, max_len=15, num_slots=3,
+        num_layers=2, dropout=0.1,
+    ).eval()
+    with torch.no_grad():
+        slots = rng.randn(2, 3, 16).astype(np.float32)
+        idx = rng.randint(0, 12, size=(2, 10)).astype(np.int64)
+        logits = steve(torch.from_numpy(slots), torch.from_numpy(idx))
+        gen_ids, gen_logits = steve.generate(
+            torch.from_numpy(slots), steps=6, sample=False
+        )
+    _pack(
+        store, "g_steve", _sd_np(steve), {"slots": slots, "idx": idx},
+        {"logits": logits.numpy(), "gen_ids": gen_ids.numpy(),
+         "gen_logits": gen_logits.numpy()},
+    )
+
+    # ---- g_savi: StoSAVi.encode on a T=4 video (deterministic, RNN predictor)
+    torch.manual_seed(7)
+    savi = savi_mod.StoSAVi(
+        resolution=(64, 64),
+        clip_len=4,
+        slot_dict=dict(
+            num_slots=4, slot_size=16, slot_mlp_size=32, num_iterations=2,
+            kernel_mlp=True,
+        ),
+        enc_dict=dict(
+            enc_channels=(3, 8, 8), enc_ks=5, enc_norm="", enc_out_channels=16
+        ),
+        dec_dict=dict(
+            dec_channels=(16, 8, 8), dec_resolution=(16, 16), dec_ks=5, dec_norm=""
+        ),
+        pred_dict=dict(
+            pred_type="transformer", pred_rnn=True, pred_norm_first=True,
+            pred_num_layers=1, pred_num_heads=4, pred_ffn_dim=32,
+            pred_sg_every=None,
+        ),
+        loss_dict=dict(use_post_recon_loss=True, kld_method="none"),
+    ).eval()
+    with torch.no_grad():
+        img = rng.uniform(-1, 1, size=(2, 4, 3, 64, 64)).astype(np.float32)
+        savi._reset_rnn()
+        kernel_dist, post_slots, encoder_out = savi.encode(torch.from_numpy(img))
+    _pack(
+        store, "g_savi", _sd_np(savi), {"img": img},
+        {"kernel_dist": kernel_dist.numpy(), "post_slots": post_slots.numpy(),
+         "encoder_out": encoder_out.numpy()},
+    )
+
+    out_path = os.path.join(HERE, "model_goldens.npz")
+    np.savez_compressed(out_path, **store)
+    print(f"wrote {out_path}: {len(store)} arrays")
+    for tag in ("g_sa", "g_tp", "g_mlp", "g_kd", "g_roll", "g_steve", "g_savi"):
+        n = sum(1 for k in store if k.startswith(tag + "/"))
+        print(f"  {tag}: {n} arrays")
+
+
+if __name__ == "__main__":
+    main()
