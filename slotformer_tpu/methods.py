@@ -181,6 +181,33 @@ class dVAEMethod(BaseMethod):
     """dVAE training with per-step gumbel-tau cosine annealing
     (reference base_slots/method.py:165-231)."""
 
+    def _sample_video(self) -> None:
+        """[gt | hard-token recon] grids per val epoch (reference
+        base_slots/method.py:168-205) — saved to <ckp>/vis/."""
+        import jax
+        import numpy as np
+
+        from .runtime.io import save_video
+
+        n = int(self.params.get("n_samples", 5))
+        videos = self._sample_val_videos(n)
+        params_tree = jax.device_get(self.state["params"])
+
+        def fwd(img):
+            return self.model.apply(
+                {"params": params_tree}, {"img": img}, tau=1.0, hard=True,
+                rngs={"sample": jax.random.PRNGKey(0)},
+            )["recon"]
+
+        rows = []
+        for v in videos:
+            img = np.asarray(v["video"])[None]  # [1, T, H, W, 3]
+            recon = np.asarray(jax.device_get(fwd(img)))[0]
+            rows.append(np.concatenate([img[0], recon], axis=2))
+        grid = np.clip(np.concatenate(rows, axis=1) * 0.5 + 0.5, 0, 1)
+        save_video(grid, os.path.join(self._vis_dir(), f"recon_{self.it}.mp4"),
+                   fps=8)
+
     def train_loss_kwargs(self, step) -> Dict[str, Any]:
         decay_steps = float(self.params.get("tau_decay_pct", 0.3)) * self.total_steps
         tau = cosine_anneal(
@@ -210,10 +237,153 @@ class STEVEMethod(BaseMethod):
             params = graft(params, src, {"dvae": src_key})
         return params
 
+    def _sample_video(self) -> None:
+        """Per-slot masked-decomposition grids (the reference skips the slow
+        autoregressive recon at val too: base_slots/method.py:285-291,
+        recon_video=False). Saved to <ckp>/vis/."""
+        import jax
+        import numpy as np
+
+        from .runtime.io import save_video
+
+        n = int(self.params.get("n_samples", 5))
+        videos = self._sample_val_videos(n)
+        params_tree = jax.device_get(self.state["params"])
+
+        def fwd(img):
+            out = self.model.apply(
+                {"params": params_tree}, {"img": img}, testing=True,
+                rngs={"sample": jax.random.PRNGKey(0)},
+            )
+            return out["masks"]  # [1, T, N, H, W] (upsampled at eval)
+
+        rows = []
+        for v in videos:
+            img = np.asarray(v["video"])[None]
+            masks = np.asarray(jax.device_get(fwd(img)))[0]  # [T, N, H, W]
+            masked = img[0][:, None] * masks[..., None]  # [T, N, H, W, 3]
+            panels = [img[0]] + [masked[:, s] for s in range(masked.shape[1])]
+            rows.append(np.concatenate(panels, axis=2))
+        grid = np.clip(np.concatenate(rows, axis=1) * 0.5 + 0.5, 0, 1)
+        save_video(grid, os.path.join(self._vis_dir(), f"decomp_{self.it}.mp4"),
+                   fps=8)
+
 
 class VQAMethod(BaseMethod):
-    """Aloe VQA training (reference clevrer_vqa/method.py)."""
+    """Aloe VQA training (reference clevrer_vqa/method.py).
+
+    Validation reproduces the reference's QUESTION-LEVEL scoring
+    (aloe.py:33-92): multiple-choice questions count as correct only when
+    every choice row is right, with per-subtype (explanatory/predictive/
+    counterfactual) accuracies. Rows of one question are regrouped by
+    (scene_index, question_id) host-side — the same aggregation
+    cli/test_clevrer_vqa uses — so val logs match the offline CLI."""
+
+    def _make_eval_step(self):
+        import jax
+
+        model = self.model
+
+        def eval_step(state, batch):
+            losses = model.apply(
+                {"params": state["params"]}, batch, method="eval_loss"
+            )
+            cls_pred, mc_correct = model.apply(
+                {"params": state["params"]}, batch, method="eval_preds"
+            )
+            # the duplicated forward inside one jit is CSE'd by XLA
+            return losses, cls_pred, mc_correct
+
+        return jax.jit(eval_step)
+
+    def validation_epoch(self, san_check_step: int = -1) -> Dict[str, float]:
+        from collections import defaultdict
+
+        import numpy as np
+
+        self.stats.reset()
+        if self._eval_step_fn is None:
+            self._eval_step_fn = self._make_eval_step()
+        mc_rows = defaultdict(list)  # (scene, qid) -> [(correct, subtype)]
+        for batch, db, n in self._val_batches(san_check_step):
+            losses, _, mc_correct = self._eval_step_fn(self.state, db)
+            self._update_val_stats(losses, n)
+            is_cls = np.asarray(batch["is_cls"]).astype(bool)
+            scene = np.asarray(batch["scene_index"])
+            qid = np.asarray(batch["question_id"])
+            sub = np.asarray(batch["q_subtype"])
+            mc_corr = np.asarray(mc_correct)
+            for r in np.nonzero(~is_cls)[0]:
+                mc_rows[(int(scene[r]), int(qid[r]))].append(
+                    (bool(mc_corr[r]), int(sub[r]))
+                )
+        per_subtype = defaultdict(list)
+        q_correct = []
+        for rows in mc_rows.values():
+            ok = all(c for c, _ in rows)
+            q_correct.append(ok)
+            per_subtype[rows[0][1]].append(ok)
+        extra = {}
+        if q_correct:
+            extra["multiple-choice_acc"] = float(np.mean(q_correct))
+        for name, sid in (
+            ("explanatory", 1), ("predictive", 2), ("counterfactual", 3)
+        ):
+            if per_subtype.get(sid):
+                extra[f"{name}_acc"] = float(np.mean(per_subtype[sid]))
+        return self._finish_validation(san_check_step, extra=extra)
 
 
 class ReadoutMethod(BaseMethod):
-    """PHYRE / Physion readout-head training."""
+    """PHYRE / Physion readout-head training (reference
+    phyre_planning/method.py + physion_vqa/method.py: val-time sample videos
+    captioned with GT label and predicted success probability). Videos go to
+    <ckp>/vis/ with a sidecar JSON of (gt, pred) per sample instead of
+    wandb captions (documented divergence)."""
+
+    def _sample_video(self) -> None:
+        import json
+
+        import jax
+        import numpy as np
+
+        from .runtime.io import save_video
+
+        dst = self.val_loader.dataset
+        if not hasattr(dst, "load_img"):
+            raise NotImplementedError
+        n = int(self.params.get("n_samples", 5))
+        saved = dst.load_img
+        dst.load_img = True
+        try:
+            idxs = np.arange(0, len(dst), max(len(dst) // n, 1))[:n]
+            items = [dst[int(i)] for i in idxs]
+        finally:
+            dst.load_img = saved
+        if "img" not in items[0]:
+            raise NotImplementedError
+        batch = {
+            k: np.stack([np.asarray(it[k]) for it in items])
+            for k in items[0]
+            if hasattr(items[0][k], "shape") or np.isscalar(items[0][k])
+        }
+        params_tree = jax.device_get(self.state["params"])
+        out = self.model.apply({"params": params_tree}, batch)
+        probs = np.asarray(jax.nn.sigmoid(out["logits"])).reshape(-1)
+        gts = np.asarray(batch["label"]).reshape(-1)
+        grid = np.clip(
+            np.concatenate(list(batch["img"]), axis=1) * 0.5 + 0.5, 0, 1
+        )
+        save_video(
+            grid, os.path.join(self._vis_dir(), f"readout_{self.it}.mp4"), fps=8
+        )
+        with open(
+            os.path.join(self._vis_dir(), f"readout_{self.it}.json"), "w"
+        ) as f:
+            json.dump(
+                [
+                    {"gt": int(g), "pred": round(float(p), 4)}
+                    for g, p in zip(gts, probs)
+                ],
+                f,
+            )

@@ -188,11 +188,17 @@ class CLEVRERAloe(nn.Module):
         return self.calc_train_loss(batch, out)
 
     def eval_loss(self, batch: dict) -> dict:
+        """Row-level eval metrics with ``_bs`` companion counts so the
+        trainer aggregates each metric in its OWN batch-size domain
+        (reference clevrer_vqa/method.py:63-112, aloe.py:46-92 returns
+        per-type ``_bs`` alongside every accuracy)."""
         out = self(batch, deterministic=True)
         losses = self.calc_train_loss(batch, out)
         is_cls = batch["is_cls"].astype(jnp.float32)
-        n_cls = jnp.maximum(is_cls.sum(), 1.0)
-        n_mc = jnp.maximum((1.0 - is_cls).sum(), 1.0)
+        n_cls_raw = is_cls.sum()
+        n_mc_raw = (1.0 - is_cls).sum()
+        n_cls = jnp.maximum(n_cls_raw, 1.0)
+        n_mc = jnp.maximum(n_mc_raw, 1.0)
         cls_pred = out["cls_answer_logits"].argmax(-1)
         cls_acc = (
             (cls_pred == batch["label"].astype(jnp.int32)).astype(jnp.float32)
@@ -205,4 +211,18 @@ class CLEVRERAloe(nn.Module):
         ).sum() / n_mc
         losses["descriptive_acc"] = cls_acc
         losses["choice_acc"] = mc_acc
+        losses["cls_answer_loss_bs"] = n_cls_raw
+        losses["mc_answer_loss_bs"] = n_mc_raw
+        losses["descriptive_acc_bs"] = n_cls_raw
+        losses["choice_acc_bs"] = n_mc_raw
         return losses
+
+    def eval_preds(self, batch: dict):
+        """Per-row predictions for question-level scoring: returns
+        (cls_pred [B] int, mc_row_correct [B] bool) — grouped by question
+        host-side (trainer VQAMethod / cli.test_clevrer_vqa; reference
+        computes this in-batch via its ragged mc_flag, aloe.py:62-75)."""
+        out = self(batch, deterministic=True)
+        cls_pred = out["cls_answer_logits"].argmax(-1)
+        mc_correct = (out["mc_answer_logits"] > 0) == (batch["label"] > 0.5)
+        return cls_pred, mc_correct

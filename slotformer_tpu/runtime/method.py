@@ -118,7 +118,9 @@ class BaseMethod:
 
         self.optimizer = self._configure_optimizers()
         self._train_step_fn = None
+        self._single_step_fn = None
         self._eval_step_fn = None
+        self._ckp_writer = None
         self.state = None  # dict(params=..., opt_state=..., rng=...)
 
     # ------------------------------------------------------------ optimizer
@@ -230,8 +232,11 @@ class BaseMethod:
             losses["grad_norm"] = optax.global_norm(grads)
             return new_state, losses
 
+        # single-step fn is always available (used directly when
+        # steps_per_call == 1, and for epoch-end remainder batches otherwise)
+        self._single_step_fn = jax.jit(train_step, donate_argnums=0)
         if self.steps_per_call == 1:
-            return jax.jit(train_step, donate_argnums=0)
+            return self._single_step_fn
 
         # fused multi-step: lax.scan K optimizer steps over stacked batches in
         # ONE device execution. losses returned from the LAST step only.
@@ -300,6 +305,7 @@ class BaseMethod:
 
     def _train_epoch(self, save_every: int) -> None:
         t0 = time.perf_counter()
+        last_print_it = self.it
         pending = []  # batches awaiting a fused multi-step call
         for batch in self.train_loader:
             if self._profile_steps and self.it == int(self._profile_steps[0]):
@@ -338,8 +344,9 @@ class BaseMethod:
                       flush=True)
             if self.it % self.print_iter < self.steps_per_call:
                 losses = {k: float(v) for k, v in losses.items()}
-                dt = (time.perf_counter() - t0) / self.print_iter
+                dt = (time.perf_counter() - t0) / max(self.it - last_print_it, 1)
                 t0 = time.perf_counter()
+                last_print_it = self.it
                 self._log(
                     {
                         "phase": "train",
@@ -351,11 +358,16 @@ class BaseMethod:
                 )
             if self.it % save_every < self.steps_per_call:
                 self.save_ckp()
+        # fused mode: run leftover batches (epoch length not divisible by
+        # steps_per_call) through the single-step path so no data is dropped
+        for b in pending:
+            self.state, _ = self._single_step_fn(
+                self.state, self._put_batch(b), jnp.asarray(self.it, jnp.int32)
+            )
+            self.it += 1
 
-    def validation_epoch(self, san_check_step: int = -1) -> Dict[str, float]:
-        self.stats.reset()
-        if self._eval_step_fn is None:
-            self._eval_step_fn = self._make_eval_step()
+    def _val_batches(self, san_check_step: int = -1):
+        """Yield (raw_batch, device_batch, batch_size) over the val loader."""
         n_data = self.mesh.shape["data"]
         for i, batch in enumerate(self.val_loader):
             if 0 < san_check_step <= i:
@@ -368,10 +380,34 @@ class BaseMethod:
                 # remainder batch: replicate instead of sharding (exact, just
                 # no data-parallel speedup for this one batch)
                 db = replicate(self.mesh, db)
-            losses = self._eval_step_fn(self.state, db)
-            self.stats.update({k: float(v) for k, v in losses.items()}, n=n)
+            yield batch, db, n
+
+    def _update_val_stats(self, losses: dict, n: int) -> None:
+        """Meter update with per-metric batch-size domains (reference
+        clevrer_vqa/method.py:63-112): a companion '<name>_bs' entry weights
+        that metric by its own row count (e.g. descriptive vs multiple-choice
+        rows); metrics without one are weighted by the batch size."""
+        losses = {k: float(v) for k, v in losses.items()}
+        ws = {
+            k[: -len("_bs")]: losses.pop(k)
+            for k in list(losses)
+            if k.endswith("_bs")
+        }
+        for k, v in losses.items():
+            w = ws.get(k, n)
+            if w > 0:
+                self.stats.update({k: v}, n=w)
+
+    def _finish_validation(
+        self, san_check_step: int, extra: Optional[Dict[str, float]] = None
+    ) -> Dict[str, float]:
         avgs = self.stats.averages()
-        self._log({"phase": "val", "step": self.it, **{k: round(v, 6) for k, v in avgs.items()}})
+        if extra:
+            avgs.update(extra)
+        self._log(
+            {"phase": "val", "step": self.it,
+             **{k: round(v, 6) for k, v in avgs.items()}}
+        )
         if san_check_step <= 0 and int(self.params.get("n_samples", 0)) > 0:
             try:
                 self._sample_video()
@@ -380,6 +416,15 @@ class BaseMethod:
             except Exception as e:  # vis must never kill training
                 print(f"[warn] _sample_video failed: {e}", flush=True)
         return avgs
+
+    def validation_epoch(self, san_check_step: int = -1) -> Dict[str, float]:
+        self.stats.reset()
+        if self._eval_step_fn is None:
+            self._eval_step_fn = self._make_eval_step()
+        for _, db, n in self._val_batches(san_check_step):
+            losses = self._eval_step_fn(self.state, db)
+            self._update_val_stats(losses, n)
+        return self._finish_validation(san_check_step)
 
     # ---------------------------------------------------------- media logging
     def _sample_video(self) -> None:
@@ -408,20 +453,37 @@ class BaseMethod:
 
     # ------------------------------------------------------------ ckpt / log
     def save_ckp(self) -> None:
-        path = os.path.join(self.ckp_path, f"model_{self.it}.ckpt.pkl")
-        save_checkpoint(
-            path,
-            jax.device_get(self.state["params"]),
-            step=self.it,
-            opt_state=jax.device_get(self.state["opt_state"]),
-            rng=np.asarray(jax.device_get(self.state["rng"])),
-        )
-        # keep a stable pointer for consumers
-        from .io import symlink_force
+        """Asynchronous checkpoint: device_get on the caller (cheap next to
+        serialization), pickle + atomic rename + symlink on a background
+        thread so training never stalls on disk. At most one write in
+        flight — the previous one is joined first."""
+        step = self.it
+        params = jax.device_get(self.state["params"])
+        opt_state = jax.device_get(self.state["opt_state"])
+        rng = np.asarray(jax.device_get(self.state["rng"]))
+        self._join_ckp_writer()
 
-        symlink_force(path, os.path.join(self.ckp_path, "latest.ckpt.pkl"))
+        def _write():
+            from .io import symlink_force
+
+            path = os.path.join(self.ckp_path, f"model_{step}.ckpt.pkl")
+            save_checkpoint(path, params, step=step, opt_state=opt_state, rng=rng)
+            # keep a stable pointer for consumers
+            symlink_force(path, os.path.join(self.ckp_path, "latest.ckpt.pkl"))
+
+        import threading
+
+        self._ckp_writer = threading.Thread(target=_write, daemon=True)
+        self._ckp_writer.start()
+
+    def _join_ckp_writer(self) -> None:
+        writer = getattr(self, "_ckp_writer", None)
+        if writer is not None:
+            writer.join()
+            self._ckp_writer = None
 
     def load_ckp(self, path: str) -> None:
+        self._join_ckp_writer()
         ck = load_checkpoint(path)
         self.it = int(ck.get("step", 0))
         params = ck["state_dict"]
@@ -448,6 +510,7 @@ class BaseMethod:
             self._log_file = open(os.path.join(self.ckp_path, "log.jsonl"), "a")
 
     def _close_log(self) -> None:
+        self._join_ckp_writer()
         if self._log_file:
             self._log_file.close()
             self._log_file = None

@@ -120,6 +120,11 @@ def test_aloe_vqa_training_e2e(vqa_setup, tmp_path):
     assert 0.0 <= avgs["descriptive_acc"] <= 1.0
     assert 0.0 <= avgs["choice_acc"] <= 1.0
     assert np.isfinite(avgs["cls_answer_loss"])
+    # question-level MC scoring in val (reference aloe.py:62-92): every
+    # fixture MC question is 'predictive', so both appear and agree
+    assert 0.0 <= avgs["multiple-choice_acc"] <= 1.0
+    assert avgs["predictive_acc"] == avgs["multiple-choice_acc"]
+    assert "explanatory_acc" not in avgs  # no such questions in the fixture
 
 
 def test_phyre_readout_training_e2e(tmp_path):

@@ -261,3 +261,18 @@ def test_fused_multi_step_training(tmp_path):
     )
     assert moved > 1e-5
     assert os.path.exists(tmp_path / "ckp" / "latest.ckpt.pkl")
+
+
+def test_fused_multi_step_remainder(tmp_path):
+    """Epoch length not divisible by steps_per_call: the leftover batches
+    run through the single-step path — no data dropped, exact step count."""
+    params = SFParams()
+    params.steps_per_call = 3
+    params.max_epochs = 2
+    dm = BaseDataModule(params, _SyntheticSlots(32), None)  # 4 steps/epoch
+    model = build_model(params)
+    method = build_method(model=model, datamodule=dm, params=params,
+                          ckp_path=str(tmp_path / "ckp"))
+    method.setup_state()
+    method.fit(san_check_val_step=0)
+    assert method.it == 2 * len(dm.train_loader), method.it
