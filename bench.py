@@ -32,6 +32,7 @@ per chip (vs_baseline >= 3.0).
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -41,6 +42,129 @@ RTX6000_EST_FRAMES_PER_SEC = 700.0
 B = 16  # per-program batch
 K = 8  # batches scanned inside one jit call
 HISTORY, ROLLOUT = 6, 48
+
+
+def _timed_scalar(fn, *args, iters=3):
+    """Time a jitted fn that returns a scalar (fetch = device sync; see
+    module docstring re: block_until_ready on the tunneled platform)."""
+    v = float(fn(*args))  # warmup / compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        v = float(fn(*args))
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(v)
+    return dt
+
+
+def bench_train() -> None:
+    """Training throughput (frames/s/chip) for SAVi and SlotFormer at the
+    reference CLEVRER configs (stosavi_clevrer batch 64 / T=6 / 64x64;
+    slotformer_clevrer 6+10 frames, img-recon loss, frozen decoder). One
+    optimizer step == one scanned iteration inside a single jit program;
+    reported frames = consumed input video frames per second per chip.
+    vs_baseline: the reference publishes no training throughput — compared
+    against the same analytical RTX6000 estimate as the rollout bench
+    (ESTIMATE, not measured; scaled by the ~3x fwd+bwd/fwd FLOP ratio)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from slotformer_tpu.models import SlotFormer, StoSAVi
+
+    KT = 4  # optimizer steps fused per timed call
+
+    def time_train(model, batch, rng_names=("sample", "dropout"), frozen=()):
+        variables = model.init(
+            {n: jax.random.PRNGKey(i) for i, n in
+             enumerate(("params",) + rng_names)},
+            batch,
+        )
+        params = jax.device_put(variables["params"])
+        tx = optax.chain(optax.clip_by_global_norm(0.05), optax.adam(1e-4))
+        opt_state = jax.device_put(tx.init(params))
+        dbatch = jax.device_put(batch)
+
+        @jax.jit
+        def k_steps(p, o):
+            def one(carry, i):
+                p, o = carry
+
+                def loss_fn(pp):
+                    if frozen:
+                        pp = {
+                            k: jax.lax.stop_gradient(v)
+                            if k in frozen else v for k, v in pp.items()
+                        }
+                    losses = model.apply(
+                        {"params": pp}, dbatch, method="train_loss",
+                        rngs={
+                            n: jax.random.fold_in(jax.random.PRNGKey(7 + j), i)
+                            for j, n in enumerate(rng_names)
+                        },
+                    )
+                    return sum(jnp.asarray(v) for v in losses.values())
+
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                upd, o = tx.update(grads, o, p)
+                return (optax.apply_updates(p, upd), o), loss
+
+            (p, o), losses = jax.lax.scan(one, (p, o), jnp.arange(KT))
+            return losses[-1]
+
+        return _timed_scalar(k_steps, params, opt_state)
+
+    results = {}
+
+    savi = StoSAVi(
+        resolution=(64, 64), clip_len=6,
+        slot_dict=dict(num_slots=7, slot_size=128, slot_mlp_size=256,
+                       num_iterations=2, kernel_mlp=False),
+        enc_dict=dict(enc_channels=(3, 64, 64, 64, 64), enc_ks=5,
+                      enc_out_channels=128),
+        dec_dict=dict(dec_channels=(128, 64, 64, 64, 64),
+                      dec_resolution=(8, 8), dec_ks=5),
+        pred_dict=dict(pred_type="transformer", pred_rnn=True,
+                       pred_norm_first=True, pred_num_layers=2,
+                       pred_num_heads=4, pred_ffn_dim=512, pred_sg_every=None),
+        loss_dict=dict(use_post_recon_loss=True, kld_method="var-0.01"),
+    )
+    bs, t = 64, 6
+    dt = time_train(
+        savi, {"img": np.random.RandomState(0)
+               .uniform(-1, 1, (bs, t, 64, 64, 3)).astype(np.float32)}
+    )
+    results["savi_train_frames_per_sec_per_chip"] = bs * t * KT / dt
+
+    from __graft_entry__ import _flagship_model
+
+    sf = _flagship_model()  # CLEVRER SlotFormer, img-recon loss on
+    bs, t = 64, 16
+    rs = np.random.RandomState(0)
+    dt = time_train(
+        sf,
+        {
+            "slots": rs.randn(bs, t, 7, 128).astype(np.float32),
+            "img": rs.uniform(-1, 1, (bs, t, 64, 64, 3)).astype(np.float32),
+        },
+        rng_names=("dropout",),
+        frozen=("decoder",),
+    )
+    results["slotformer_train_frames_per_sec_per_chip"] = bs * t * KT / dt
+
+    # analytical fwd+bwd ~ 3x fwd FLOPs -> estimated RTX6000 train throughput
+    train_baseline_est = RTX6000_EST_FRAMES_PER_SEC / 3.0
+    for k, v in results.items():
+        print(
+            json.dumps(
+                {
+                    "metric": k,
+                    "value": round(v, 2),
+                    "unit": "frames/s",
+                    "vs_baseline": round(v / train_baseline_est, 3),
+                    "baseline_is_estimate": True,
+                }
+            )
+        )
 
 
 def main() -> None:
@@ -72,13 +196,7 @@ def main() -> None:
         acc, _ = jax.lax.scan(one, jnp.zeros(()), s)
         return acc
 
-    v = float(rollout_decode_k(params, slots))  # warmup / compile
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        v = float(rollout_decode_k(params, slots))
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(v)
+    dt = _timed_scalar(rollout_decode_k, params, slots)
 
     fps = K * B * ROLLOUT / dt
     print(
@@ -88,10 +206,14 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / RTX6000_EST_FRAMES_PER_SEC, 3),
+                "baseline_is_estimate": True,
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        bench_train()
+    else:
+        main()
