@@ -78,7 +78,11 @@ class CLEVRERDataset(Dataset):
             level = i // 1000
             video_dir = f"video_{level * 1000:05d}-{(level + 1) * 1000:05d}"
             p = os.path.join(self.video_path, video_dir, f"video_{i:05d}.mp4")
-            paths.append(p)
+            # keep only videos present on disk (mp4 or pre-extracted frame
+            # dir) so partial checkouts / fixtures work; the full dataset is
+            # unaffected (the reference assumes all 5k/split exist)
+            if os.path.isfile(p) or os.path.isdir(strip_suffix(p)):
+                paths.append(p)
         return sorted(compact(paths))
 
     def _get_sample_idx(self):
