@@ -34,8 +34,8 @@ class SlotFormerParams(BaseParams):
     lr = 2e-4
     clip_grad = 0.05
     warmup_steps_pct = 0.05
-    max_epochs = 25
+    max_epochs = 120
     save_interval = 1.0
-    eval_interval = 5
+    eval_interval = 20
     print_iter = 20
     n_samples = 0  # video writing off during the timing run

@@ -35,8 +35,8 @@ class SlotFormerParams(BaseParams):
     optimizer = 'Adam'
     lr = 2e-4
     warmup_steps_pct = 0.05
-    max_epochs = 15
+    max_epochs = 60
     save_interval = 1.0
-    eval_interval = 5
+    eval_interval = 20
     print_iter = 20
     n_samples = 0

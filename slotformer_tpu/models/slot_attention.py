@@ -16,9 +16,14 @@ steve.py:13-73 for the mask-returning variant):
     compete for pixels — this is the defining difference from standard
     cross-attention.
 
-All matmuls are [B·HW, D]-shaped — large and MXU-friendly. A fused Pallas
-kernel for the iteration body lives in ``slotformer_tpu.ops`` and can be
-enabled via ``use_pallas`` (same math, fewer HBM round-trips).
+All matmuls are [B·HW, D]-shaped — large and MXU-friendly. With
+``use_pallas=True``, the ENTIRE iteration loop (q-LN/proj, inverted softmax,
+renormalized mean, GRU, MLP — all ``num_iterations`` rounds) runs as one
+fused Pallas kernel (ops.fused_slot_attention): k/v stream HBM->VMEM once
+per call instead of once per iteration and no intermediate touches HBM.
+Falls back to the jnp composition when the shape is ineligible (num_slots >
+8, one batch element's k/v too big for VMEM, or lane-unaligned D on TPU).
+Gradients are exact either way (custom_vjp differentiates the jnp twin).
 """
 
 from __future__ import annotations
@@ -26,6 +31,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -36,9 +42,8 @@ class SlotAttentionBase(nn.Module):
     slot_size: int
     mlp_hidden_size: int
     eps: float = 1e-6
-    # opt-in fused Pallas kernel for the attention update (see
-    # ops/slot_attention_kernel.py STATUS note — XLA currently wins at
-    # reference shapes, the kernel is kept for future shapes/dtypes)
+    # fused whole-loop Pallas kernel (ops.fused_slot_attention); measured
+    # numbers + eligibility in ops/slot_attention_kernel.py
     use_pallas: bool = False
 
     def setup(self):
@@ -58,17 +63,12 @@ class SlotAttentionBase(nn.Module):
         """One slot-attention round. Returns (new_slots, attn [B, HW, S])."""
         scale = self.slot_size**-0.5
         q = self.project_q(self.project_q_norm(slots))  # [B, S, D]
-        if self.use_pallas:
-            from ..ops import slot_attention_update
-
-            updates, attn = slot_attention_update(k, v, q * scale, self.eps)
-        else:
-            attn_logits = scale * jnp.einsum("bnd,bsd->bns", k, q)
-            attn = nn.softmax(attn_logits, axis=-1)  # over slots: competition
-            # renormalize over the spatial dim, weighted mean of values
-            attn_w = attn + self.eps
-            attn_w = attn_w / jnp.sum(attn_w, axis=1, keepdims=True)
-            updates = jnp.einsum("bns,bnd->bsd", attn_w, v)
+        attn_logits = scale * jnp.einsum("bnd,bsd->bns", k, q)
+        attn = nn.softmax(attn_logits, axis=-1)  # over slots: competition
+        # renormalize over the spatial dim, weighted mean of values
+        attn_w = attn + self.eps
+        attn_w = attn_w / jnp.sum(attn_w, axis=1, keepdims=True)
+        updates = jnp.einsum("bns,bnd->bsd", attn_w, v)
         # GRU update: carry = prev slots, input = updates
         new_slots, _ = self.gru(slots, updates)
         new_slots = new_slots + self.mlp_out(
@@ -76,11 +76,50 @@ class SlotAttentionBase(nn.Module):
         )
         return new_slots, attn
 
+    def _fused_eligible(self, k: jnp.ndarray) -> bool:
+        from ..ops.slot_attention_kernel import S_PAD
+
+        if self.is_initializing() or not self.use_pallas:
+            return False  # init must call the jnp path to create params
+        N, D = k.shape[1], self.slot_size
+        if self.num_slots > S_PAD or N * D > 524_288:
+            return False  # VMEM: one batch element's k/v must fit
+        on_cpu = jax.default_backend() == "cpu"
+        return on_cpu or (D % 128 == 0 and N % 8 == 0)
+
+    def _fused_wp(self) -> dict:
+        """Collect the bound submodule params for the fused kernel."""
+        p = lambda m: m.variables["params"]  # noqa: E731
+        gru = p(self.gru)
+        return dict(
+            q_ln_scale=p(self.project_q_norm)["scale"],
+            q_ln_bias=p(self.project_q_norm)["bias"],
+            wq=p(self.project_q)["kernel"],
+            w_ir=gru["ir"]["kernel"], w_iz=gru["iz"]["kernel"],
+            w_in=gru["in"]["kernel"], w_hr=gru["hr"]["kernel"],
+            w_hz=gru["hz"]["kernel"], w_hn=gru["hn"]["kernel"],
+            b_ir=gru["ir"]["bias"], b_iz=gru["iz"]["bias"],
+            b_in=gru["in"]["bias"], b_hn=gru["hn"]["bias"],
+            mlp_ln_scale=p(self.mlp_norm)["scale"],
+            mlp_ln_bias=p(self.mlp_norm)["bias"],
+            w1=p(self.mlp_hidden)["kernel"], b1=p(self.mlp_hidden)["bias"],
+            w2=p(self.mlp_out)["kernel"], b2=p(self.mlp_out)["bias"],
+        )
+
     def _run(self, inputs: jnp.ndarray, slots: jnp.ndarray):
         assert inputs.ndim == 3 and slots.ndim == 3, (inputs.shape, slots.shape)
         x = self.norm_inputs(inputs)
         k = self.project_k(x)
         v = self.project_v(x)
+        if self._fused_eligible(k):
+            from ..ops import fused_slot_attention
+
+            return fused_slot_attention(
+                k, v, slots, self._fused_wp(),
+                self.num_iterations, self.num_slots,
+                self.slot_size**-0.5, self.eps,
+                jax.default_backend() == "cpu",  # interpret off-TPU
+            )
         attn = None
         for _ in range(self.num_iterations):
             slots, attn = self._iterate(k, v, slots)

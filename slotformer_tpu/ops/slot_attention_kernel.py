@@ -166,3 +166,223 @@ def _bwd(eps, interpret, res, cts):
 
 
 slot_attention_update.defvjp(_fwd, _bwd)
+
+
+# ===========================================================================
+# Fully-fused slot attention: ALL iterations + GRU + MLP in one kernel
+# ===========================================================================
+#
+# Why the single-update kernel above loses (0.65x XLA): slot attention is
+# bandwidth-bound (arithmetic intensity ~2 FLOP/byte) and XLA already fuses
+# softmax into the matmuls, so fusing one update saves nothing — while the
+# [TILE, 8] matmuls underutilize the MXU.
+#
+# What this kernel changes: grid over B only; k/v for one batch element live
+# ENTIRELY in VMEM (N=4096 x D=128 f32 = 2 MB each), and the full
+# num_iterations loop — q-LN + q-proj, inverted softmax, renormalized
+# weighted mean, GRU cell, residual MLP — runs without touching HBM. XLA's
+# graph reads k/v from HBM once per ITERATION plus round-trips the [N, S]
+# attention; this reads them once per CALL. The slot-side math ([8, D]
+# blocks) is negligible FLOPs on the VPU/MXU.
+#
+# Weight layout matches flax GRUCell (r/z gates: bias on the input Dense,
+# none on the hidden; candidate n: biases on both) — see
+# runtime/torch_compat.gru_cell for the parametrization notes.
+
+MLP_SUBLANES = 16  # vecs rows (see _VEC_* indices below)
+_VEC_QLN_S, _VEC_QLN_B = 0, 1
+_VEC_B_IR, _VEC_B_IZ, _VEC_B_IN, _VEC_B_HN = 2, 3, 4, 5
+_VEC_MLN_S, _VEC_MLN_B, _VEC_B2 = 6, 7, 8
+
+
+def _layernorm(x, scale, bias, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _fused_kernel(
+    k_ref, v_ref, slots_ref, wq_ref, gru_ref, w1_ref, w2_ref, vecs_ref,
+    b1_ref, slots_out, attn_out, *, num_iterations: int, n_slots: int,
+    scale: float, eps: float,
+):
+    k = k_ref[0]  # [N, D]
+    v = v_ref[0]  # [N, D]
+    h = slots_ref[0]  # [S_PAD, D]
+    vecs = vecs_ref[:]  # [16, D]
+    N = k.shape[0]
+
+    slot_cols = jax.lax.broadcasted_iota(jnp.int32, (N, S_PAD), 1)
+    sumv = jnp.sum(v, axis=0, keepdims=True)  # [1, D]
+    attn = None
+    for _ in range(num_iterations):
+        hq = _layernorm(h, vecs[_VEC_QLN_S], vecs[_VEC_QLN_B])
+        q = jnp.dot(hq, wq_ref[:], preferred_element_type=jnp.float32) * scale
+        logits = jnp.dot(k, q.T, preferred_element_type=jnp.float32)  # [N, S_PAD]
+        logits = jnp.where(slot_cols < n_slots, logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1)
+        den = jnp.sum(attn, axis=0)[:, None]  # [S_PAD, 1]
+        num = jax.lax.dot_general(
+            attn, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S_PAD, D]
+        upd = (num + eps * sumv) / (den + eps * N)
+
+        # GRU cell (flax parametrization)
+        def mm(a, w):
+            return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+        r = jax.nn.sigmoid(mm(upd, gru_ref[0]) + vecs[_VEC_B_IR]
+                           + mm(h, gru_ref[3]))
+        z = jax.nn.sigmoid(mm(upd, gru_ref[1]) + vecs[_VEC_B_IZ]
+                           + mm(h, gru_ref[4]))
+        n = jnp.tanh(mm(upd, gru_ref[2]) + vecs[_VEC_B_IN]
+                     + r * (mm(h, gru_ref[5]) + vecs[_VEC_B_HN]))
+        h = (1.0 - z) * n + z * h
+
+        # residual MLP
+        hm = _layernorm(h, vecs[_VEC_MLN_S], vecs[_VEC_MLN_B])
+        hid = jax.nn.relu(mm(hm, w1_ref[:]) + b1_ref[0])
+        h = h + mm(hid, w2_ref[:]) + vecs[_VEC_B2]
+
+    slots_out[0] = h
+    attn_out[0] = attn
+
+
+def _pack_vecs(wp: dict, d: int):
+    """Stack all [D]-vectors into one sublane-aligned [16, D] block."""
+    order = {
+        _VEC_QLN_S: "q_ln_scale", _VEC_QLN_B: "q_ln_bias",
+        _VEC_B_IR: "b_ir", _VEC_B_IZ: "b_iz", _VEC_B_IN: "b_in",
+        _VEC_B_HN: "b_hn", _VEC_MLN_S: "mlp_ln_scale",
+        _VEC_MLN_B: "mlp_ln_bias", _VEC_B2: "b2",
+    }
+    return jnp.stack([
+        jnp.asarray(wp[order[i]], jnp.float32) if i in order
+        else jnp.zeros((d,), jnp.float32)
+        for i in range(MLP_SUBLANES)
+    ])
+
+
+def _fused_forward(k, v, slots, wp, num_iterations, n_slots, scale, eps,
+                   interpret):
+    B, N, D = k.shape
+    H = wp["w1"].shape[1]
+    slots_pad = jnp.pad(slots, ((0, 0), (0, S_PAD - n_slots), (0, 0)))
+    gru = jnp.stack(
+        [jnp.asarray(wp[n], jnp.float32)
+         for n in ("w_ir", "w_iz", "w_in", "w_hr", "w_hz", "w_hn")]
+    )  # [6, D, D]
+    vecs = _pack_vecs(wp, D)
+    b1 = jnp.asarray(wp["b1"], jnp.float32)[None]  # [1, H]
+
+    kernel = functools.partial(
+        _fused_kernel, num_iterations=num_iterations, n_slots=n_slots,
+        scale=scale, eps=eps,
+    )
+    const = lambda b: (0, 0)  # noqa: E731 — weights resident across grid steps
+    slots_new, attn = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_PAD, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, D, D), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((MLP_SUBLANES, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, S_PAD, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, S_PAD), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S_PAD, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, S_PAD), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        k.astype(jnp.float32), v.astype(jnp.float32), slots_pad,
+        jnp.asarray(wp["wq"], jnp.float32), gru,
+        jnp.asarray(wp["w1"], jnp.float32), jnp.asarray(wp["w2"], jnp.float32),
+        vecs, b1,
+    )
+    return slots_new[:, :n_slots], attn[..., :n_slots]
+
+
+def fused_reference(k, v, slots, wp, num_iterations, n_slots, scale, eps):
+    """jnp twin of the fused kernel (same args) — backward pass + parity."""
+    del n_slots
+    sumv = jnp.sum(v, axis=1, keepdims=True)
+    N = k.shape[1]
+    attn = None
+    h = slots
+    for _ in range(num_iterations):
+        hq = _layernorm(h, wp["q_ln_scale"], wp["q_ln_bias"])
+        q = hq @ wp["wq"] * scale
+        logits = jnp.einsum("bnd,bsd->bns", k, q)
+        attn = jax.nn.softmax(logits, axis=-1)
+        den = jnp.sum(attn, axis=1)[..., None]
+        num = jnp.einsum("bns,bnd->bsd", attn, v)
+        upd = (num + eps * sumv) / (den + eps * N)
+        r = jax.nn.sigmoid(upd @ wp["w_ir"] + wp["b_ir"] + h @ wp["w_hr"])
+        z = jax.nn.sigmoid(upd @ wp["w_iz"] + wp["b_iz"] + h @ wp["w_hz"])
+        n = jnp.tanh(upd @ wp["w_in"] + wp["b_in"]
+                     + r * (h @ wp["w_hn"] + wp["b_hn"]))
+        h = (1.0 - z) * n + z * h
+        hm = _layernorm(h, wp["mlp_ln_scale"], wp["mlp_ln_bias"])
+        h = h + jax.nn.relu(hm @ wp["w1"] + wp["b1"]) @ wp["w2"] + wp["b2"]
+    return h, attn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def fused_slot_attention(
+    k, v, slots, wp, num_iterations: int = 2, n_slots: int = 7,
+    scale: float = 1.0, eps: float = 1e-6, interpret: bool = False,
+):
+    """All slot-attention iterations + GRU + MLP fused in one Pallas call.
+
+    k/v: [B, N, D] (already input-LN'd and projected); slots: [B, S, D]
+    init; wp: weight dict (see fused_reference). Returns (slots [B, S, D],
+    last-iteration attn [B, N, S]). Gradients: custom_vjp whose backward
+    differentiates the identical jnp composition (exact, unfused).
+
+    Eligibility: S <= 8, f32, k/v for one batch element must fit VMEM
+    (N*D <= ~512k f32) — callers should fall back to the jnp path otherwise
+    (models.slot_attention handles this).
+    """
+    orig = k.dtype
+    h, attn = _fused_forward(
+        k, v, slots, wp, num_iterations, n_slots, scale, eps, interpret
+    )
+    return h.astype(orig), attn.astype(orig)
+
+
+def _fused_fwd(k, v, slots, wp, num_iterations, n_slots, scale, eps, interpret):
+    out = fused_slot_attention(
+        k, v, slots, wp, num_iterations, n_slots, scale, eps, interpret
+    )
+    return out, (k, v, slots, wp)
+
+
+def _fused_bwd(num_iterations, n_slots, scale, eps, interpret, res, cts):
+    k, v, slots, wp = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, w: fused_reference(
+            a, b, c, w, num_iterations, n_slots, scale, eps
+        ),
+        k, v, slots, wp,
+    )
+    return vjp(cts)
+
+
+fused_slot_attention.defvjp(_fused_fwd, _fused_bwd)
