@@ -213,6 +213,25 @@ def main() -> None:
          "gen_logits": gen_logits.numpy()},
     )
 
+    # ---- g_dvae: tokenizer encode logits + detokenize (deterministic paths;
+    # gumbel sampling uses framework-specific noise and is excluded)
+    dvae_mod = _load("refbase.dVAE", "slotformer/base_slots/models/dVAE.py",
+                     base_dir)
+    torch.manual_seed(8)
+    dv = dvae_mod.dVAE(vocab_size=16, img_channels=3).eval()
+    with torch.no_grad():
+        img = rng.uniform(-1, 1, size=(2, 3, 16, 16)).astype(np.float32)
+        logits = dv.encoder(torch.from_numpy(img))
+        token_ids = dv.tokenize(torch.from_numpy(img), one_hot=False)
+        z = rng.uniform(0, 1, size=(2, 16, 4, 4)).astype(np.float32)
+        z = z / z.sum(1, keepdims=True)
+        recon = dv.detokenize(torch.from_numpy(z))
+    _pack(
+        store, "g_dvae", _sd_np(dv), {"img": img, "z": z},
+        {"logits": logits.numpy(), "token_ids": token_ids.numpy(),
+         "recon": recon.numpy()},
+    )
+
     # ---- g_savi: StoSAVi.encode on a T=4 video (deterministic, RNN predictor)
     torch.manual_seed(7)
     savi = savi_mod.StoSAVi(
@@ -248,7 +267,8 @@ def main() -> None:
     out_path = os.path.join(HERE, "model_goldens.npz")
     np.savez_compressed(out_path, **store)
     print(f"wrote {out_path}: {len(store)} arrays")
-    for tag in ("g_sa", "g_tp", "g_mlp", "g_kd", "g_roll", "g_steve", "g_savi"):
+    for tag in ("g_sa", "g_tp", "g_mlp", "g_kd", "g_roll", "g_steve",
+                "g_dvae", "g_savi"):
         n = sum(1 for k in store if k.startswith(tag + "/"))
         print(f"  {tag}: {n} arrays")
 

@@ -129,6 +129,29 @@ def test_steve_decoder_parity(store):
     )
 
 
+def test_dvae_parity(store):
+    from slotformer_tpu.models.dvae import dVAE
+
+    sd, ins, outs = _group(store, "g_dvae")
+    model = dVAE(vocab_size=16, img_channels=3)
+    params = tc.dvae(sd)
+    img = np.transpose(ins["img"], (0, 2, 3, 1))  # NCHW -> NHWC
+    logits = model.apply({"params": params}, img, method="encode_logits")
+    np.testing.assert_allclose(
+        np.asarray(logits),
+        np.transpose(outs["logits"], (0, 2, 3, 1)),
+        rtol=RTOL, atol=2e-3,  # GroupNorm eps differs (1e-5 vs 1e-6)
+    )
+    ids = model.apply({"params": params}, img, False, method="tokenize")
+    np.testing.assert_array_equal(np.asarray(ids), outs["token_ids"])
+    z = np.transpose(ins["z"], (0, 2, 3, 1))  # [B, h, w, vocab]
+    recon = model.apply({"params": params}, z, method="detokenize")
+    np.testing.assert_allclose(
+        np.asarray(recon), np.transpose(outs["recon"], (0, 2, 3, 1)),
+        rtol=RTOL, atol=2e-3,
+    )
+
+
 def test_stosavi_encode_parity(store):
     from slotformer_tpu.models.savi import StoSAVi
 
