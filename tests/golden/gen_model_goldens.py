@@ -15,7 +15,9 @@ Components:
   g_mlp     ResidualMLPPredictor.forward              (predictor.py:47-73)
   g_kd      kernel_dist_layer + _sample_dist, fixed eps (savi.py:190-200,355-365)
   g_roll    SlotRollouter.forward, pred_len=3         (slotformer.py:48-134)
+  g_ssroll  SingleStepSlotRollouter iterative-overlap  (single_step_slotformer.py)
   g_steve   STEVETransformerDecoder fwd + greedy generate (steve_transformer.py)
+  g_dvae    dVAE encode logits / token ids / detokenize (dVAE.py:12-100)
   g_savi    StoSAVi.encode, T=4 video, RNN predictor  (savi.py:367-415)
 
 Run from the repo root:  python tests/golden/gen_model_goldens.py
@@ -194,6 +196,24 @@ def main() -> None:
         out = roll(torch.from_numpy(x), pred_len=3)
     _pack(store, "g_roll", _sd_np(roll), {"x": x}, {"pred": out.numpy()})
 
+    # ---- g_ssroll: SingleStepSlotRollouter — iterative-overlap rollout
+    # (growing context 1 -> cond_len, then sliding); pred_len exercises both
+    sss_mod = _load(
+        "refvp.single_step_slotformer",
+        "slotformer/video_prediction/models/single_step_slotformer.py",
+        vp_dir,
+    )
+    torch.manual_seed(9)
+    ss = sss_mod.SingleStepSlotRollouter(
+        num_slots=3, slot_size=8, history_len=1, cond_len=4, t_pe="sin",
+        slots_pe="", d_model=16, num_layers=2, num_heads=2, ffn_dim=32,
+        norm_first=True,
+    ).eval()
+    with torch.no_grad():
+        x = rng.randn(2, 1, 3, 8).astype(np.float32)
+        out = ss(torch.from_numpy(x), pred_len=6)
+    _pack(store, "g_ssroll", _sd_np(ss), {"x": x}, {"pred": out.numpy()})
+
     # ---- g_steve: STEVE transformer decoder, teacher-forced + greedy generate
     torch.manual_seed(6)
     steve = stt_mod.STEVETransformerDecoder(
@@ -267,7 +287,7 @@ def main() -> None:
     out_path = os.path.join(HERE, "model_goldens.npz")
     np.savez_compressed(out_path, **store)
     print(f"wrote {out_path}: {len(store)} arrays")
-    for tag in ("g_sa", "g_tp", "g_mlp", "g_kd", "g_roll", "g_steve",
+    for tag in ("g_sa", "g_tp", "g_mlp", "g_kd", "g_roll", "g_ssroll", "g_steve",
                 "g_dvae", "g_savi"):
         n = sum(1 for k in store if k.startswith(tag + "/"))
         print(f"  {tag}: {n} arrays")

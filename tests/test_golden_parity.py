@@ -199,3 +199,21 @@ def test_stosavi_encode_parity(store):
     np.testing.assert_allclose(
         np.asarray(post_slots), outs["post_slots"], rtol=5e-3, atol=5e-4
     )
+
+
+def test_single_step_rollouter_parity(store):
+    """The fixed right-aligned buffer + shrinking pad mask reproduces the
+    reference's growing-concat iterative-overlap rollout exactly
+    (single_step_slotformer.py:49-90) — growing AND sliding phases."""
+    from slotformer_tpu.models.slotformer import SingleStepSlotRollouter
+
+    sd, ins, outs = _group(store, "g_ssroll")
+    model = SingleStepSlotRollouter(
+        num_slots=3, slot_size=8, history_len=1, cond_len=4, t_pe="sin",
+        slots_pe="", d_model=16, num_layers=2, num_heads=2, ffn_dim=32,
+        norm_first=True,
+    )
+    params = tc.slot_rollouter(sd, num_layers=2, num_heads=2)
+    got = model.apply({"params": params}, ins["x"], 6)
+    np.testing.assert_allclose(np.asarray(got), outs["pred"], rtol=RTOL,
+                               atol=ATOL)
