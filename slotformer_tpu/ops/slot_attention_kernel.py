@@ -212,32 +212,44 @@ def _fused_kernel(
     vecs = vecs_ref[:]  # [16, D]
     N = k.shape[0]
 
-    slot_cols = jax.lax.broadcasted_iota(jnp.int32, (N, S_PAD), 1)
+    # Attention lives as [S_PAD, N]: the slot axis (7-8 valid) sits on
+    # SUBLANES so the softmax reduction runs across sublanes while the big
+    # N axis fills all 128 VPU lanes. The [N, S_PAD] layout (slots on
+    # lanes) pays 16x the exp/VPU cost for the same math — measured 1.2 ms
+    # vs 0.86 ms per call at CLEVRER shapes.
+    slot_rows = jax.lax.broadcasted_iota(jnp.int32, (S_PAD, N), 0)
+    valid = slot_rows < n_slots
     sumv = jnp.sum(v, axis=0, keepdims=True)  # [1, D]
     attn = None
     for _ in range(num_iterations):
         hq = _layernorm(h, vecs[_VEC_QLN_S], vecs[_VEC_QLN_B])
         q = jnp.dot(hq, wq_ref[:], preferred_element_type=jnp.float32) * scale
-        logits = jnp.dot(k, q.T, preferred_element_type=jnp.float32)  # [N, S_PAD]
-        logits = jnp.where(slot_cols < n_slots, logits, -jnp.inf)
-        attn = jax.nn.softmax(logits, axis=-1)
-        den = jnp.sum(attn, axis=0)[:, None]  # [S_PAD, 1]
-        num = jax.lax.dot_general(
-            attn, v, (((0,), (0,)), ((), ())),
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [S_PAD, D]
+        )  # [S_PAD, N]
+        logits = jnp.where(valid, logits, -jnp.inf)
+        m = jnp.max(logits, axis=0, keepdims=True)
+        e = jnp.exp(logits - m)
+        attn = e / jnp.sum(e, axis=0, keepdims=True)  # [S_PAD, N]
+        den = jnp.sum(attn, axis=1)[:, None]  # [S_PAD, 1]
+        num = jnp.dot(attn, v, preferred_element_type=jnp.float32)  # [S_PAD, D]
         upd = (num + eps * sumv) / (den + eps * N)
 
-        # GRU cell (flax parametrization)
+        # GRU cell (flax parametrization); the three gates are computed as
+        # two concatenated [S_PAD, D] @ [D, 3D] matmuls — 9 tiny
+        # issue-latency-bound matmuls fold into 2.
         def mm(a, w):
             return jnp.dot(a, w, preferred_element_type=jnp.float32)
 
-        r = jax.nn.sigmoid(mm(upd, gru_ref[0]) + vecs[_VEC_B_IR]
-                           + mm(h, gru_ref[3]))
-        z = jax.nn.sigmoid(mm(upd, gru_ref[1]) + vecs[_VEC_B_IZ]
-                           + mm(h, gru_ref[4]))
-        n = jnp.tanh(mm(upd, gru_ref[2]) + vecs[_VEC_B_IN]
-                     + r * (mm(h, gru_ref[5]) + vecs[_VEC_B_HN]))
+        D = h.shape[-1]
+        gi = mm(upd, gru_ref[0])  # [S_PAD, 3D] = [r|z|n] input-side
+        gh = mm(h, gru_ref[1])    # [S_PAD, 3D] = [r|z|n] hidden-side
+        r = jax.nn.sigmoid(gi[:, :D] + vecs[_VEC_B_IR] + gh[:, :D])
+        z = jax.nn.sigmoid(gi[:, D:2 * D] + vecs[_VEC_B_IZ]
+                           + gh[:, D:2 * D])
+        n = jnp.tanh(gi[:, 2 * D:] + vecs[_VEC_B_IN]
+                     + r * (gh[:, 2 * D:] + vecs[_VEC_B_HN]))
         h = (1.0 - z) * n + z * h
 
         # residual MLP
@@ -269,10 +281,12 @@ def _fused_forward(k, v, slots, wp, num_iterations, n_slots, scale, eps,
     B, N, D = k.shape
     H = wp["w1"].shape[1]
     slots_pad = jnp.pad(slots, ((0, 0), (0, S_PAD - n_slots), (0, 0)))
-    gru = jnp.stack(
-        [jnp.asarray(wp[n], jnp.float32)
-         for n in ("w_ir", "w_iz", "w_in", "w_hr", "w_hz", "w_hn")]
-    )  # [6, D, D]
+    gru = jnp.stack([
+        jnp.concatenate([jnp.asarray(wp[n], jnp.float32)
+                         for n in ("w_ir", "w_iz", "w_in")], axis=1),
+        jnp.concatenate([jnp.asarray(wp[n], jnp.float32)
+                         for n in ("w_hr", "w_hz", "w_hn")], axis=1),
+    ])  # [2, D, 3D] — gate weights concatenated (see kernel comment)
     vecs = _pack_vecs(wp, D)
     b1 = jnp.asarray(wp["b1"], jnp.float32)[None]  # [1, H]
 
@@ -292,7 +306,7 @@ def _fused_forward(k, v, slots, wp, num_iterations, n_slots, scale, eps,
             pl.BlockSpec((1, S_PAD, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, D), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, D, D), lambda b: (0, 0, 0),
+            pl.BlockSpec((2, D, 3 * D), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, H), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, D), const, memory_space=pltpu.VMEM),
@@ -302,12 +316,12 @@ def _fused_forward(k, v, slots, wp, num_iterations, n_slots, scale, eps,
         out_specs=(
             pl.BlockSpec((1, S_PAD, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, S_PAD), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, S_PAD, N), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, S_PAD, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, N, S_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((B, S_PAD, N), jnp.float32),
         ),
         interpret=interpret,
     )(
@@ -316,7 +330,8 @@ def _fused_forward(k, v, slots, wp, num_iterations, n_slots, scale, eps,
         jnp.asarray(wp["w1"], jnp.float32), jnp.asarray(wp["w2"], jnp.float32),
         vecs, b1,
     )
-    return slots_new[:, :n_slots], attn[..., :n_slots]
+    # attn is [B, S_PAD, N] inside the kernel; callers take [B, N, S]
+    return slots_new[:, :n_slots], jnp.swapaxes(attn[:, :n_slots], 1, 2)
 
 
 def fused_reference(k, v, slots, wp, num_iterations, n_slots, scale, eps):
@@ -359,6 +374,25 @@ def fused_slot_attention(
     Eligibility: S <= 8, f32, k/v for one batch element must fit VMEM
     (N*D <= ~512k f32) — callers should fall back to the jnp path otherwise
     (models.slot_attention handles this).
+
+    STATUS (closing, measured on v5e at CLEVRER shapes B=64 N=4096 D=128
+    S=7, 2 iterations, 50-rep lax.scan, scalar-sync): 0.84 ms/call vs XLA
+    0.87 ms — **1.04x, i.e. parity, not a win**. The op is bound by MXU
+    lane underutilization on the [N,128]@[128,8] / [8,N]@[N,128] matmuls
+    (8 of 128 output lanes carry slots), a wall XLA shares; the kernel's
+    2x HBM-traffic saving (k/v resident in VMEM across both iterations)
+    is hidden under that compute floor. Variants measured and rejected:
+    slots padded to 128 lanes (16x redundant FLOPs, no gain — softmax VPU
+    cost also 16x), bf16 k/v storage (0.72x — Mosaic layout conversions),
+    in-kernel bf16 dot casts (elided by Mosaic, no effect). What DID help,
+    kept in this kernel: attention laid out [S_PAD, N] so the softmax
+    reduces over sublanes with N on lanes (1.2 -> 0.86 ms), and GRU gate
+    weights concatenated to [D, 3D] so 9 issue-latency-bound small matmuls
+    become 2 (0.86 -> 0.84 ms). Conclusion: XLA is already at the
+    speed-of-light for this shape regime; the kernel stays OPT-IN
+    (correct, gradient-exact, at-parity) and is NOT advertised as a perf
+    asset. It would win where k/v re-reads dominate: more iterations
+    (>=3) or larger N where XLA's per-iteration HBM round-trip bites.
     """
     orig = k.dtype
     h, attn = _fused_forward(
