@@ -34,7 +34,7 @@ class SlotFormerParams(BaseParams):
     lr = 2e-4
     clip_grad = 0.05
     warmup_steps_pct = 0.05
-    max_epochs = 120
+    max_epochs = 200
     save_interval = 1.0
     eval_interval = 20
     print_iter = 20

