@@ -56,6 +56,10 @@ def main(argv=None) -> None:
     parser.add_argument("--split", type=int, default=-1)
     parser.add_argument("--total_split", type=int, default=10)
     parser.add_argument("--bs", type=int, default=128)
+    parser.add_argument(
+        "--num_acts", type=int, default=10000,
+        help="candidate actions per task (reference fixes 10k, "
+             "test_phyre_planning.py:139)")
     parser.add_argument("--collect", default="", help="merge shard results dir")
     args = parser.parse_args(argv)
 
@@ -119,7 +123,7 @@ def main(argv=None) -> None:
         tasks, phyre.eval_setup_to_action_tier(eval_setup)
     )
     num_tasks = len(tasks)
-    num_acts = 10000
+    num_acts = args.num_acts
     cache = phyre.get_default_100k_cache("ball")
     act_lst = cache.action_array[:num_acts]
     sim_statuses = np.array(cache.get_sample(tasks, None)["simulation_statuses"])
