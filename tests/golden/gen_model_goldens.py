@@ -284,11 +284,50 @@ def main() -> None:
          "encoder_out": encoder_out.numpy()},
     )
 
+    # ---- g_physro: PhysionReadout — C(N,2) pairs -> agg -> max over time
+    ro_mod = _load(
+        "refphys.readout", "slotformer/physion_vqa/models/readout.py",
+        os.path.join(REF, "slotformer/physion_vqa/models"),
+    )
+    torch.manual_seed(10)
+    physro = ro_mod.PhysionReadout(
+        readout_dict=dict(num_slots=5, slot_size=16, agg_func="max",
+                          feats_dim=24)
+    ).eval()
+    with torch.no_grad():
+        slots = rng.randn(3, 4, 5, 16).astype(np.float32)
+        out = physro({"slots": torch.from_numpy(slots)})
+    _pack(store, "g_physro", _sd_np(physro), {"slots": slots},
+          {"logits": out["logits"].numpy()})
+
+    # ---- g_phyrero: PHYREReadout — CLS + temporal-PE transformer readout
+    # (its `from nerv.models.transformer import build_pos_enc` resolves to
+    # the identical in-reference impl at vp/slotformer.py:19-33)
+    trans_stub = types.ModuleType("nerv.models.transformer")
+    trans_stub.build_pos_enc = sf_mod.build_pos_enc
+    sys.modules["nerv.models.transformer"] = trans_stub
+    sys.modules["nerv.models"].transformer = trans_stub
+    pr_mod = _load(
+        "refphyre.readout", "slotformer/phyre_planning/models/readout.py",
+        os.path.join(REF, "slotformer/phyre_planning/models"),
+    )
+    torch.manual_seed(11)
+    phyrero = pr_mod.PHYREReadout(
+        readout_dict=dict(num_slots=3, slot_size=8, t_pe="sin", d_model=16,
+                          num_layers=2, num_heads=2, ffn_dim=32,
+                          norm_first=True, sel_slots=[0, 2, 3]),
+    ).eval()
+    with torch.no_grad():
+        slots = rng.randn(2, 5, 3, 8).astype(np.float32)
+        out = phyrero({"slots": torch.from_numpy(slots)})
+    _pack(store, "g_phyrero", _sd_np(phyrero), {"slots": slots},
+          {"logits": out["logits"].numpy()})
+
     out_path = os.path.join(HERE, "model_goldens.npz")
     np.savez_compressed(out_path, **store)
     print(f"wrote {out_path}: {len(store)} arrays")
     for tag in ("g_sa", "g_tp", "g_mlp", "g_kd", "g_roll", "g_ssroll", "g_steve",
-                "g_dvae", "g_savi"):
+                "g_dvae", "g_savi", "g_physro", "g_phyrero"):
         n = sum(1 for k in store if k.startswith(tag + "/"))
         print(f"  {tag}: {n} arrays")
 

@@ -217,3 +217,34 @@ def test_single_step_rollouter_parity(store):
     got = model.apply({"params": params}, ins["x"], 6)
     np.testing.assert_allclose(np.asarray(got), outs["pred"], rtol=RTOL,
                                atol=ATOL)
+
+
+def test_physion_readout_parity(store):
+    from slotformer_tpu.models.readout import PhysionReadout
+
+    sd, ins, outs = _group(store, "g_physro")
+    model = PhysionReadout(
+        readout_dict=dict(num_slots=5, slot_size=16, agg_func="max",
+                          feats_dim=24)
+    )
+    params = tc.physion_readout(sd)
+    got = model.apply({"params": params}, {"slots": ins["slots"]})
+    np.testing.assert_allclose(
+        np.asarray(got["logits"]), outs["logits"], rtol=RTOL, atol=ATOL
+    )
+
+
+def test_phyre_readout_parity(store):
+    from slotformer_tpu.models.readout import PHYREReadout
+
+    sd, ins, outs = _group(store, "g_phyrero")
+    model = PHYREReadout(
+        readout_dict=dict(num_slots=3, slot_size=8, t_pe="sin", d_model=16,
+                          num_layers=2, num_heads=2, ffn_dim=32,
+                          norm_first=True, sel_slots=[0, 2, 3]),
+    )
+    params = tc.phyre_readout(sd, num_layers=2, num_heads=2)
+    got = model.apply({"params": params}, {"slots": ins["slots"]})
+    np.testing.assert_allclose(
+        np.asarray(got["logits"]), outs["logits"], rtol=RTOL, atol=ATOL
+    )
