@@ -12,6 +12,11 @@ class SlotFormerParams(BaseParams):
     num_videos_val = 16
     video_len = 20
     resolution = (64, 64)
+    # larger, more salient objects (13-22 px at 64 res): at this training
+    # budget (~9k steps vs the reference's 230k) the default 5-10 px movers
+    # leave slot attention in its spatial-tiling regime (ARI ~ 0); object
+    # discovery needs the foreground to carry reconstruction loss
+    obj_size_range = (0.2, 0.35)
     n_sample_frames = 6
     input_frames = 6
     frame_offset = 1

@@ -13,6 +13,7 @@ class SlotFormerParams(BaseParams):
     num_videos_val = 16
     video_len = 20
     resolution = (64, 64)
+    obj_size_range = (0.2, 0.35)  # must match the SAVi stage
     n_sample_frames = 6 + 10
     input_frames = 6
     frame_offset = 1

@@ -14,12 +14,13 @@ import numpy as np
 from ..runtime.datamodule import Dataset
 
 
-def _render_video(seed, video_len, res, num_objects):
+def _render_video(seed, video_len, res, num_objects,
+                  obj_size_range=(0.08, 0.16)):
     rng = np.random.default_rng(seed)
     n = rng.integers(2, num_objects + 1)
     pos = rng.uniform(0.15, 0.85, size=(n, 2))
     vel = rng.uniform(-0.03, 0.03, size=(n, 2))
-    size = rng.uniform(0.08, 0.16, size=(n,))
+    size = rng.uniform(*obj_size_range, size=(n,))
     color = rng.uniform(0.3, 1.0, size=(n, 3))
     shape = rng.integers(0, 2, size=(n,))
 
@@ -59,6 +60,7 @@ class SyntheticVideoDataset(Dataset):
         frame_offset: int = 1,
         num_objects: int = 4,
         load_mask: bool = False,
+        obj_size_range=(0.08, 0.16),
     ):
         self.split = split
         self.num_videos = num_videos
@@ -68,6 +70,7 @@ class SyntheticVideoDataset(Dataset):
         self.frame_offset = frame_offset
         self.num_objects = num_objects
         self.load_mask = load_mask
+        self.obj_size_range = tuple(obj_size_range)
         self._seed_base = {"train": 0, "val": 10_000_000, "test": 20_000_000}[split]
         self._cache = {}
         # clip index: one clip per (video, start)
@@ -93,6 +96,7 @@ class SyntheticVideoDataset(Dataset):
                 self.video_len,
                 self.resolution[0],
                 self.num_objects,
+                self.obj_size_range,
             )
         return self._cache[video_idx]
 
@@ -187,6 +191,7 @@ def build_synthetic_dataset(params, val_only=False):
         n_sample_frames=params.n_sample_frames,
         frame_offset=params.frame_offset,
         load_mask=params.get("load_mask", False),
+        obj_size_range=params.get("obj_size_range", (0.08, 0.16)),
     )
     val_dataset = SyntheticVideoDataset(**args)
     if val_only:
@@ -207,6 +212,7 @@ def build_synthetic_slots_dataset(params, val_only=False):
         resolution=params.resolution,
         n_sample_frames=params.n_sample_frames,
         frame_offset=params.frame_offset,
+        obj_size_range=params.get("obj_size_range", (0.08, 0.16)),
     )
     val_dataset = SyntheticSlotsDataset(
         val_base, slots["val"], params.n_sample_frames,
@@ -222,6 +228,7 @@ def build_synthetic_slots_dataset(params, val_only=False):
         resolution=params.resolution,
         n_sample_frames=params.n_sample_frames,
         frame_offset=params.frame_offset,
+        obj_size_range=params.get("obj_size_range", (0.08, 0.16)),
     )
     train_dataset = SyntheticSlotsDataset(
         train_base, slots["train"], params.n_sample_frames,

@@ -69,8 +69,17 @@ class ConvNormAct(nn.Module):
 class DeconvNormAct(nn.Module):
     """Transposed Conv2D (+ norm/act), NHWC.
 
-    Matches the reference decoder geometry: kernel 5, stride 2, pad ks//2,
-    output_padding 1 => exact 2x upsampling (savi.py:265-277).
+    Bit-exact torch ``ConvTranspose2d(k, stride, padding=k//2,
+    output_padding=stride-1)`` semantics (the reference decoder geometry,
+    savi.py:265-277): the input is stride-dilated, padded with
+    ``k-1-padding`` before / ``k-1-padding+output_padding`` after, and
+    correlated with the FLIPPED kernel (``transpose_kernel=True``, the
+    gradient-of-conv convention; kernel stored [kH, kW, out, in]). Exactness
+    makes reference decoder checkpoints portable via
+    ``runtime.torch_compat.savi_decoder`` — golden-tested in
+    tests/test_golden_parity.py. flax's ``padding="SAME"`` (unflipped
+    kernel, (3, 2) pads at k=5/s=2) is a DIFFERENT function; measured
+    max-abs output diff ~1.3 on random weights.
     """
 
     out_channels: int
@@ -81,11 +90,15 @@ class DeconvNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, s = self.kernel_size, self.stride
+        pad_lo = k - 1 - k // 2
+        pad = (pad_lo, pad_lo + s - 1)
         x = nn.ConvTranspose(
             self.out_channels,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding="SAME",
+            kernel_size=(k, k),
+            strides=(s, s),
+            padding=(pad, pad),
+            transpose_kernel=True,
         )(x)
         if self.norm == "gn":
             x = nn.GroupNorm(num_groups=1)(x)

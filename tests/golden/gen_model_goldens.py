@@ -278,11 +278,84 @@ def main() -> None:
         img = rng.uniform(-1, 1, size=(2, 4, 3, 64, 64)).astype(np.float32)
         savi._reset_rnn()
         kernel_dist, post_slots, encoder_out = savi.encode(torch.from_numpy(img))
+        # decode path too: the spatial-broadcast decoder (savi.py:504-525)
+        dec_slots = rng.randn(3, 4, 16).astype(np.float32)
+        recon_combined, recons, masks, _ = savi.decode(
+            torch.from_numpy(dec_slots))
     _pack(
-        store, "g_savi", _sd_np(savi), {"img": img},
+        store, "g_savi", _sd_np(savi), {"img": img, "dec_slots": dec_slots},
         {"kernel_dist": kernel_dist.numpy(), "post_slots": post_slots.numpy(),
+         "encoder_out": encoder_out.numpy(),
+         "recon_combined": recon_combined.numpy(), "recons": recons.numpy(),
+         "masks": masks.numpy()},
+    )
+
+    # ---- g_stevefull: reference STEVE.encode (deterministic SA cell, no
+    # kernel head; predictor seeds each frame's latents from prev slots)
+    steve_mod = _load(
+        "refbase.steve", "slotformer/base_slots/models/steve.py", base_dir
+    )
+    import tempfile
+
+    torch.manual_seed(13)
+    dvae_for_steve = dvae_mod.dVAE(vocab_size=16, img_channels=3)
+    dvae_ckp = os.path.join(tempfile.mkdtemp(), "dvae.pth")
+    torch.save({"state_dict": dvae_for_steve.state_dict()}, dvae_ckp)
+    torch.manual_seed(12)
+    steve = steve_mod.STEVE(
+        resolution=(64, 64),
+        clip_len=2,
+        slot_dict=dict(num_slots=3, slot_size=16, slot_mlp_size=32,
+                       num_iterations=2),
+        dvae_dict=dict(down_factor=4, vocab_size=16, dvae_ckp_path=dvae_ckp),
+        enc_dict=dict(enc_channels=(3, 8, 8), enc_ks=5, enc_norm="",
+                      enc_out_channels=16),
+        dec_dict=dict(dec_num_layers=1, dec_num_heads=2, dec_d_model=16),
+        pred_dict=dict(pred_type="transformer", pred_rnn=True,
+                       pred_norm_first=True, pred_num_layers=1,
+                       pred_num_heads=2, pred_ffn_dim=32, pred_sg_every=None),
+        loss_dict=dict(use_img_recon_loss=False),
+    ).eval()
+    with torch.no_grad():
+        img = rng.uniform(-1, 1, size=(2, 2, 3, 64, 64)).astype(np.float32)
+        steve._reset_rnn()
+        slots, masks, encoder_out = steve.encode(torch.from_numpy(img))
+    _pack(
+        store, "g_stevefull", _sd_np(steve), {"img": img},
+        {"slots": slots.numpy(), "masks": masks.numpy(),
          "encoder_out": encoder_out.numpy()},
     )
+
+    # ---- g_stevesf: reference STEVESlotFormer — full-model key mapping
+    # (rollouter + frozen dvae + `decoder`-named token decoder) + rollout
+    steve_ckp = os.path.join(tempfile.mkdtemp(), "steve.pth")
+    torch.save({"state_dict": steve.state_dict()}, steve_ckp)
+    shim = sys.modules["slotformer.base_slots.models"]
+    shim.STEVE = steve_mod.STEVE
+    shim.gumbel_softmax = sys.modules["refbase.steve_utils"].gumbel_softmax
+    shim.make_one_hot = sys.modules["refbase.steve_utils"].make_one_hot
+    ssf_mod = _load(
+        "refvp.steve_slotformer",
+        "slotformer/video_prediction/models/steve_slotformer.py", vp_dir,
+    )
+    torch.manual_seed(14)
+    ssf = ssf_mod.STEVESlotFormer(
+        resolution=(64, 64),
+        clip_len=2,
+        slot_dict=dict(num_slots=3, slot_size=16),
+        dvae_dict=dict(down_factor=4, vocab_size=16, dvae_ckp_path=dvae_ckp),
+        dec_dict=dict(dec_num_layers=1, dec_num_heads=2, dec_d_model=16,
+                      dec_ckp_path=steve_ckp),
+        rollout_dict=dict(num_slots=3, slot_size=16, history_len=2, t_pe="sin",
+                          slots_pe="", d_model=16, num_layers=1, num_heads=2,
+                          ffn_dim=32, norm_first=True),
+        loss_dict=dict(rollout_len=3, use_img_recon_loss=False),
+    ).eval()
+    with torch.no_grad():
+        past = rng.randn(2, 2, 3, 16).astype(np.float32)
+        pred = ssf.rollout(torch.from_numpy(past), pred_len=3)
+    _pack(store, "g_stevesf", _sd_np(ssf), {"past": past},
+          {"pred": pred.numpy()})
 
     # ---- g_physro: PhysionReadout — C(N,2) pairs -> agg -> max over time
     ro_mod = _load(
@@ -327,7 +400,8 @@ def main() -> None:
     np.savez_compressed(out_path, **store)
     print(f"wrote {out_path}: {len(store)} arrays")
     for tag in ("g_sa", "g_tp", "g_mlp", "g_kd", "g_roll", "g_ssroll", "g_steve",
-                "g_dvae", "g_savi", "g_physro", "g_phyrero"):
+                "g_dvae", "g_savi", "g_stevefull", "g_stevesf", "g_physro",
+                "g_phyrero"):
         n = sum(1 for k in store if k.startswith(tag + "/"))
         print(f"  {tag}: {n} arrays")
 

@@ -178,15 +178,12 @@ def test_stosavi_encode_parity(store):
     )
     img = np.transpose(ins["img"], (0, 1, 3, 4, 2))  # NCHW video -> NHWC
     variables = model.init(jax.random.PRNGKey(0), {"img": img})
-    params = dict(variables["params"])
-    mapped = tc.stosavi(sd, n_convs=2, pred_dict=pred_dict, kernel_mlp=True)
-    params.update(mapped)  # decoder keeps init values (unused by encode)
+    params = tc.stosavi(sd, n_convs=2, pred_dict=pred_dict, kernel_mlp=True,
+                        n_deconvs=2)  # FULL tree incl. decoder
 
     import chex
 
-    chex.assert_trees_all_equal_shapes(
-        {k: params[k] for k in mapped}, {k: variables["params"][k] for k in mapped}
-    )
+    chex.assert_trees_all_equal_shapes(params, variables["params"])
     kernel_dist, post_slots, _, feats, _ = model.apply(
         {"params": params}, img, method="encode"
     )
@@ -198,6 +195,25 @@ def test_stosavi_encode_parity(store):
     )
     np.testing.assert_allclose(
         np.asarray(post_slots), outs["post_slots"], rtol=5e-3, atol=5e-4
+    )
+
+    # decode: the spatial-broadcast decoder with exact torch ConvTranspose2d
+    # geometry (savi.py:504-525; DeconvNormAct transpose_kernel path)
+    recon_combined, recons, masks, _ = model.apply(
+        {"params": params}, ins["dec_slots"], method="decode"
+    )
+    np.testing.assert_allclose(
+        np.asarray(recon_combined),
+        np.transpose(outs["recon_combined"], (0, 2, 3, 1)),
+        rtol=RTOL, atol=ATOL,
+    )
+    np.testing.assert_allclose(
+        np.asarray(recons), np.transpose(outs["recons"], (0, 1, 3, 4, 2)),
+        rtol=RTOL, atol=ATOL,
+    )
+    np.testing.assert_allclose(
+        np.asarray(masks), np.transpose(outs["masks"], (0, 1, 3, 4, 2)),
+        rtol=RTOL, atol=ATOL,
     )
 
 
@@ -248,3 +264,80 @@ def test_phyre_readout_parity(store):
     np.testing.assert_allclose(
         np.asarray(got["logits"]), outs["logits"], rtol=RTOL, atol=ATOL
     )
+
+
+def test_steve_full_model_parity(store):
+    """tc.steve maps EVERY reference STEVE parameter; encode reproduces
+    slots + segmentation masks + encoder features (steve.py:76-240)."""
+    from slotformer_tpu.models.steve import STEVE
+
+    sd, ins, outs = _group(store, "g_stevefull")
+    pred_dict = dict(pred_type="transformer", pred_rnn=True,
+                     pred_norm_first=True, pred_num_layers=1,
+                     pred_num_heads=2, pred_ffn_dim=32, pred_sg_every=None)
+    model = STEVE(
+        resolution=(64, 64),
+        clip_len=2,
+        slot_dict=dict(num_slots=3, slot_size=16, slot_mlp_size=32,
+                       num_iterations=2),
+        dvae_dict=dict(down_factor=4, vocab_size=16),
+        enc_dict=dict(enc_channels=(3, 8, 8), enc_ks=5, enc_norm="",
+                      enc_out_channels=16),
+        dec_dict=dict(dec_num_layers=1, dec_num_heads=2, dec_d_model=16),
+        pred_dict=pred_dict,
+        loss_dict=dict(use_img_recon_loss=False),
+    )
+    img = np.transpose(ins["img"], (0, 1, 3, 4, 2))  # NCHW video -> NHWC
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(0)},
+        {"img": img},
+    )
+    params = tc.steve(sd, n_convs=2, pred_dict=pred_dict, dec_num_layers=1)
+
+    import chex
+
+    chex.assert_trees_all_equal_shapes(params, variables["params"])
+    slots, masks, feats, _ = model.apply({"params": params}, img,
+                                         method="encode")
+    np.testing.assert_allclose(
+        np.asarray(feats), outs["encoder_out"], rtol=RTOL, atol=ATOL
+    )
+    np.testing.assert_allclose(
+        np.asarray(slots), outs["slots"], rtol=5e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(masks), outs["masks"], rtol=5e-3, atol=5e-4
+    )
+
+
+def test_steve_slotformer_full_model_parity(store):
+    """tc.steve_slotformer maps the reference's rollouter + dvae + `decoder`
+    (its trans_decoder deepcopy) keys; rollout reproduces pred slots."""
+    from slotformer_tpu.models.steve_slotformer import STEVESlotFormer
+
+    sd, ins, outs = _group(store, "g_stevesf")
+    model = STEVESlotFormer(
+        resolution=(64, 64),
+        clip_len=2,
+        slot_dict=dict(num_slots=3, slot_size=16),
+        dvae_dict=dict(down_factor=4, vocab_size=16),
+        dec_dict=dict(dec_num_layers=1, dec_num_heads=2, dec_d_model=16),
+        rollout_dict=dict(num_slots=3, slot_size=16, history_len=2,
+                          t_pe="sin", slots_pe="", d_model=16, num_layers=1,
+                          num_heads=2, ffn_dim=32, norm_first=True),
+        loss_dict=dict(rollout_len=3, use_img_recon_loss=False),
+    )
+    slots5 = np.concatenate([ins["past"]] * 3, axis=1)[:, :5]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(0)},
+        {"slots": slots5},
+    )
+    params = tc.steve_slotformer(sd, num_layers=1, num_heads=2,
+                                 dec_num_layers=1)
+
+    import chex
+
+    chex.assert_trees_all_equal_shapes(params, variables["params"])
+    got = model.apply({"params": params}, ins["past"], 3, method="rollout")
+    np.testing.assert_allclose(np.asarray(got), outs["pred"], rtol=RTOL,
+                               atol=ATOL)

@@ -53,7 +53,8 @@ class _SyntheticSlots:
 
 class SAViParams(BaseParams):
     model = "StoSAVi"
-    max_epochs = 2
+    max_epochs = 3  # 2 epochs left the fixed-seed loss drop at 9.7% after
+    # the torch-exact deconv landed; 3 gives a comfortable margin
     save_interval = 1.0
     eval_interval = 1
     print_iter = 2
