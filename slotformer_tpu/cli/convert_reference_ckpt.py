@@ -99,15 +99,26 @@ def convert_state_dict(params, sd: dict) -> dict:
     raise NotImplementedError(m)
 
 
+def _leaf_paths(t, path=""):
+    if not isinstance(t, dict):
+        return [path]
+    out = []
+    for k, v in t.items():
+        out += _leaf_paths(v, f"{path}/{k}" if path else k)
+    return out
+
+
 def _merge(init_tree, conv_tree, path=""):
     """Converted leaves override init; every converted leaf must exist in the
-    model with the same shape. Returns (merged, unmapped_subtree_paths)."""
+    model with the same shape. Returns (merged, unmapped_leaf_paths) — an
+    unmapped subtree contributes every leaf under it, so the CLI's coverage
+    report counts leaves, not subtree roots."""
     merged, unmapped = {}, []
     for k, v in init_tree.items():
         p = f"{path}/{k}" if path else k
         if k not in conv_tree:
             merged[k] = v
-            unmapped.append(p)
+            unmapped += _leaf_paths(v, p)
         elif isinstance(v, dict):
             sub, sub_un = _merge(v, conv_tree[k], p)
             merged[k] = sub

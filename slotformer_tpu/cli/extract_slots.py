@@ -41,13 +41,13 @@ def extract_video_slots(model, params_tree, dataset, batch_size: int,
     first_fn = None
     cont_fn = None
 
-    # StoSAVi.encode -> (kernel_dist, post_slots, masks, encoder_out, carry);
-    # STEVE.encode -> (slots, masks, feats, carry). Same slot_key dispatch as
-    # the reference (extract_slots.py:22).
-    savi_like = type(model).__name__ == "StoSAVi"
-
+    # StoSAVi.encode -> a 5-tuple (kernel_dist, post_slots, masks,
+    # encoder_out, carry); STEVE.encode -> a 4-tuple (slots, masks, feats,
+    # carry). Dispatch on arity (same role as the reference's slot_key,
+    # extract_slots.py:22) so SAVi-family subclasses keep working.
     def _unpack(out):
-        return (out[1] if savi_like else out[0]), out[-1]
+        assert len(out) in (4, 5), f"unexpected encode arity {len(out)}"
+        return (out[1] if len(out) == 5 else out[0]), out[-1]
 
     def encode_first(p, imgs, rng):
         return _unpack(model.apply(

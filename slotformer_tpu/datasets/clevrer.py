@@ -83,6 +83,15 @@ class CLEVRERDataset(Dataset):
             # unaffected (the reference assumes all 5k/split exist)
             if os.path.isfile(p) or os.path.isdir(strip_suffix(p)):
                 paths.append(p)
+        expected = end - start - (1 if start <= 10800 < end else 0)
+        if len(paths) < expected:
+            # loud, not fatal: fixture trees legitimately carry a subset (or
+            # only one split), but a typo'd data_root must not silently
+            # train on nothing — steps_per_epoch == 0 makes that visible too
+            print(f"[clevrer] WARNING: {len(paths)}/{expected} videos of "
+                  f"split {self.split!r} present under {self.video_path}; "
+                  "continuing with the subset (fixture/partial checkout?) — "
+                  "check data_root if this is unexpected")
         return sorted(compact(paths))
 
     def _get_sample_idx(self):

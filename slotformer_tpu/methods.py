@@ -365,7 +365,10 @@ class ReadoutMethod(BaseMethod):
         batch = {
             k: np.stack([np.asarray(it[k]) for it in items])
             for k in items[0]
-            if hasattr(items[0][k], "shape") or np.isscalar(items[0][k])
+            # arrays + NUMERIC scalars only (np.isscalar is True for str —
+            # filename metadata must not be np.stack'd into the model batch)
+            if hasattr(items[0][k], "shape")
+            or isinstance(items[0][k], (int, float, np.number))
         }
         params_tree = jax.device_get(self.state["params"])
         out = self.model.apply({"params": params_tree}, batch)

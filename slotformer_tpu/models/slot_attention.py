@@ -81,6 +81,8 @@ class SlotAttentionBase(nn.Module):
 
         if self.is_initializing() or not self.use_pallas:
             return False  # init must call the jnp path to create params
+        if k.dtype != jnp.float32:
+            return False  # kernel refs are f32; bf16/AMP falls back to jnp
         N, D = k.shape[1], self.slot_size
         if self.num_slots > S_PAD or N * D > 524_288:
             return False  # VMEM: one batch element's k/v must fit

@@ -359,12 +359,30 @@ class BaseMethod:
             if self.it % save_every < self.steps_per_call:
                 self.save_ckp()
         # fused mode: run leftover batches (epoch length not divisible by
-        # steps_per_call) through the single-step path so no data is dropped
+        # steps_per_call) through the single-step path so no data is dropped;
+        # keep the same logging/checkpoint bookkeeping as the main loop so a
+        # save boundary landing in the remainder still writes a ckpt
         for b in pending:
-            self.state, _ = self._single_step_fn(
+            self.state, losses = self._single_step_fn(
                 self.state, self._put_batch(b), jnp.asarray(self.it, jnp.int32)
             )
             self.it += 1
+            if self.it % self.print_iter == 0:
+                losses = {k: float(v) for k, v in losses.items()}
+                dt = (time.perf_counter() - t0) / max(self.it - last_print_it, 1)
+                t0 = time.perf_counter()
+                last_print_it = self.it
+                self._log(
+                    {
+                        "phase": "train",
+                        "step": self.it,
+                        "epoch": self.epoch,
+                        "sec_per_step": round(dt, 4),
+                        **{k: round(v, 6) for k, v in losses.items()},
+                    }
+                )
+            if self.it % save_every == 0:
+                self.save_ckp()
 
     def _val_batches(self, san_check_step: int = -1):
         """Yield (raw_batch, device_batch, batch_size) over the val loader."""
