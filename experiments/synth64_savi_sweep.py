@@ -1,0 +1,85 @@
+"""Short SAVi variant sweep on hardware: which config escapes the
+spatial-tiling attractor (ARI > 0) fastest on the synthetic data?
+
+Run:  python experiments/synth64_savi_sweep.py [steps_per_variant]
+Prints per-variant val FG-ARI/ARI after a short training budget.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+VARIANTS = {
+    # deterministic SAVi, higher lr, 10x data variety
+    "det_lr4_2k": dict(kld_method="none", kld_loss_w=0.0, lr=4e-4,
+                       num_videos_train=2000),
+    # deterministic + fewer slots (4 objects + bg)
+    "det_slots5": dict(kld_method="none", kld_loss_w=0.0, lr=4e-4,
+                       num_videos_train=2000, num_slots=5),
+    # current stochastic config, just 10x data
+    "sto_2k": dict(num_videos_train=2000),
+}
+
+
+def run_variant(name, overrides, max_epochs):
+    import jax
+
+    from slotformer_tpu.datasets import build_dataset
+    from slotformer_tpu.methods import build_method
+    from slotformer_tpu.metrics.vp_metrics import (ARI_metric, fARI_metric,
+                                                   postproc_mask)
+    from slotformer_tpu.models import build_model
+    from slotformer_tpu.runtime import BaseDataModule, load_params
+
+    params = load_params("experiments/synth64_savi_params.py")
+    params.max_epochs = max_epochs
+    params.eval_interval = max(max_epochs, 1)
+    params.save_interval = 1e9  # no mid-run ckpts
+    params.n_samples = 0
+    for k, v in overrides.items():
+        if k == "num_slots":
+            params.slot_dict = dict(params.slot_dict, num_slots=v)
+        elif k in ("kld_method",):
+            params.loss_dict = dict(params.loss_dict, kld_method=v)
+        else:
+            setattr(params, k, v)
+
+    train_set, val_set = build_dataset(params)
+    dm = BaseDataModule(params, train_set, val_set)
+    model = build_model(params)
+    ckp = f"/tmp/savi_sweep/{name}"
+    method = build_method(model=model, datamodule=dm, params=params,
+                         ckp_path=ckp)
+    method.setup_state()
+    method.fit()
+
+    # val ARI of the trained encoder's own masks
+    params.load_mask = True
+    _, val_m = build_dataset(params)
+    items = [val_m[i] for i in range(8)]
+    img = np.stack([it["img"] for it in items])
+    gt = np.stack([it["mask"] for it in items]).astype(np.int64)
+    tree = jax.device_get(method.state["params"])
+    out = model.apply({"params": tree}, {"img": img},
+                      rngs={"sample": jax.random.PRNGKey(0)})
+    pm = np.asarray(postproc_mask(out["post_masks"]))
+    ns = params.slot_dict["num_slots"]
+    ari = ARI_metric(gt.reshape(-1, 64, 64), pm.reshape(-1, 64, 64),
+                     num_classes=max(ns + 1, 8))
+    fari = fARI_metric(gt.reshape(-1, 64, 64), pm.reshape(-1, 64, 64),
+                       num_classes=max(ns + 1, 8))
+    print(f"[sweep] {name}: ARI={ari:.4f} FG-ARI={fari:.4f} "
+          f"(it={method.it})", flush=True)
+    return ari, fari
+
+
+if __name__ == "__main__":
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    results = {}
+    for name, ov in VARIANTS.items():
+        results[name] = run_variant(name, ov, epochs)
+    print("[sweep] results:", results)

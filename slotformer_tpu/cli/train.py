@@ -31,6 +31,9 @@ def main(argv=None) -> None:
     parser.add_argument("--ckp_path", default="", help="checkpoint dir override")
     parser.add_argument("--seeds", type=int, default=1)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument(
+        "--start_seed_idx", type=int, default=0,
+        help=argparse.SUPPRESS)  # internal: set by the RSS-watchdog re-exec
     parser.add_argument("--san_check_val_step", type=int, default=2)
     # accepted for reference CLI parity; no-ops on TPU
     parser.add_argument("--fp16", action="store_true")
@@ -42,9 +45,10 @@ def main(argv=None) -> None:
     from ..datasets import build_dataset
     from ..methods import build_method
     from ..models import build_model
-    from ..runtime import BaseDataModule, latest_checkpoint, load_params
+    from ..runtime import (BaseDataModule, RestartForMemory,
+                           latest_checkpoint, load_params)
 
-    for k in range(args.seeds):
+    for k in range(args.start_seed_idx, args.seeds):
         params = load_params(args.params)
         seed = args.seed + k
         params.seed = seed
@@ -79,7 +83,29 @@ def main(argv=None) -> None:
         print(f"[train] exp={exp_name} seed={seed} steps/epoch="
               f"{method.steps_per_epoch} total={method.total_steps} "
               f"resume={resume or 'none'}", flush=True)
-        method.fit(resume_from=resume, san_check_val_step=args.san_check_val_step)
+        try:
+            method.fit(resume_from=resume,
+                       san_check_val_step=args.san_check_val_step)
+        except RestartForMemory:
+            # the RSS watchdog checkpointed; re-exec this process with
+            # --auto_resume so training continues with a fresh (leak-free)
+            # host heap. Remaining seeds are carried through the restart.
+            cmd = [
+                sys.executable, "-m", "slotformer_tpu.cli.train",
+                "--params", args.params,
+                "--auto_resume",
+                "--seed", str(args.seed),
+                "--seeds", str(args.seeds),
+                "--start_seed_idx", str(k),
+                "--san_check_val_step", "0",
+            ]
+            if args.ckp_path:
+                cmd += ["--ckp_path", args.ckp_path]
+            if args.fp16:
+                cmd.append("--fp16")
+            print(f"[train] re-exec for memory: {' '.join(cmd[1:])}",
+                  flush=True)
+            os.execv(sys.executable, cmd)
 
 
 if __name__ == "__main__":

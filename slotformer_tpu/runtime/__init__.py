@@ -23,7 +23,7 @@ from .checkpoint import (
     save_checkpoint,
 )
 from .datamodule import BaseDataModule, DataLoader, Dataset, default_collate
-from .method import BaseMethod
+from .method import BaseMethod, RestartForMemory
 from . import torch_compat
 
 __all__ = [

@@ -36,6 +36,20 @@ from .meters import MeterBank
 from .schedules import build_optimizer, cosine_annealing_warmup
 
 
+class RestartForMemory(RuntimeError):
+    """Raised by the trainer after checkpointing when host RSS crosses the
+    watchdog limit (see BaseMethod.max_rss_gb). The caller (cli.train) is
+    expected to re-exec the process with --auto_resume."""
+
+
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * 4096 / 1e9
+    except (OSError, ValueError, IndexError):  # pragma: no cover - non-linux
+        return 0.0
+
+
 def _is_array(x) -> bool:
     return hasattr(x, "shape") and hasattr(x, "dtype")
 
@@ -98,6 +112,21 @@ class BaseMethod:
         self.epoch = 0
         self.stats = MeterBank()
         self._log_file = None
+        # host-RSS watchdog: the tunneled-TPU (axon IFRT-proxy) client leaks
+        # host memory proportional to every host->device transfer (~19 MB
+        # per CLEVRER-scale image batch, measured; pure execution is clean),
+        # so any long run eventually OOMs. When RSS crosses the limit the
+        # trainer checkpoints and raises RestartForMemory — cli.train
+        # re-execs itself with --auto_resume (preemption-resume semantics,
+        # same recovery path as a Slurm requeue). 0 disables.
+        self.max_rss_gb = float(params.get("max_rss_gb", -1.0))
+        if self.max_rss_gb < 0:  # auto: 60% of MemTotal
+            try:
+                with open("/proc/meminfo") as f:
+                    total_kb = int(f.readline().split()[1])
+                self.max_rss_gb = 0.6 * total_kb / 1e6
+            except (OSError, ValueError, IndexError):
+                self.max_rss_gb = 0.0
         self._wandb = None
         if params.get("use_wandb", False):
             try:
@@ -293,7 +322,25 @@ class BaseMethod:
             if self.val_loader is not None and (epoch + 1) % self.eval_interval == 0:
                 self.validation_epoch()
             self.save_ckp()
+            self._maybe_restart()
         self._close_log()
+
+    def _maybe_restart(self) -> None:
+        """Checkpoint + raise RestartForMemory when RSS crosses the limit."""
+        if self.max_rss_gb <= 0:
+            return
+        rss = _rss_gb()
+        if rss < self.max_rss_gb:
+            return
+        print(
+            f"[trainer] host RSS {rss:.1f} GB >= limit {self.max_rss_gb:.1f} "
+            "GB (tunnel-client transfer leak) — checkpointing for restart",
+            flush=True,
+        )
+        self.save_ckp()
+        self._join_ckp_writer()  # execv replaces the process: flush first
+        self._close_log()
+        raise RestartForMemory(f"rss {rss:.1f} GB >= {self.max_rss_gb:.1f} GB")
 
     def _put_batch(self, batch: dict):
         db = _device_batch(batch)
@@ -358,6 +405,7 @@ class BaseMethod:
                 )
             if self.it % save_every < self.steps_per_call:
                 self.save_ckp()
+                self._maybe_restart()
         # fused mode: run leftover batches (epoch length not divisible by
         # steps_per_call) through the single-step path so no data is dropped;
         # keep the same logging/checkpoint bookkeeping as the main loop so a
@@ -383,6 +431,7 @@ class BaseMethod:
                 )
             if self.it % save_every == 0:
                 self.save_ckp()
+                self._maybe_restart()
 
     def _val_batches(self, san_check_step: int = -1):
         """Yield (raw_batch, device_batch, batch_size) over the val loader."""

@@ -277,3 +277,64 @@ def test_fused_multi_step_remainder(tmp_path):
     method.setup_state()
     method.fit(san_check_val_step=0)
     assert method.it == 2 * len(dm.train_loader), method.it
+
+
+def test_rss_watchdog_checkpoints_and_raises(tmp_path):
+    """max_rss_gb below current RSS: the first save point checkpoints,
+    flushes the async writer, and raises RestartForMemory."""
+    from slotformer_tpu.runtime import RestartForMemory
+
+    params = SAViParams()
+    params.max_rss_gb = 0.001  # far below any real process RSS
+    dm = BaseDataModule(params, _SyntheticVideo(32), _SyntheticVideo(8, seed=1))
+    model = build_model(params)
+    method = build_method(
+        model=model, datamodule=dm, params=params, ckp_path=str(tmp_path / "ckp")
+    )
+    method.setup_state()
+    with pytest.raises(RestartForMemory):
+        method.fit(san_check_val_step=0)
+    cks = [f for f in os.listdir(tmp_path / "ckp") if f.endswith(".ckpt.pkl")]
+    assert cks, "watchdog must checkpoint before raising"
+    # the saved state resumes cleanly
+    from slotformer_tpu.runtime import latest_checkpoint
+
+    method2 = build_method(
+        model=model, datamodule=dm, params=params, ckp_path=str(tmp_path / "ckp")
+    )
+    method2.setup_state()
+    method2.load_ckp(latest_checkpoint(str(tmp_path / "ckp")))
+    assert method2.it == method.it
+
+
+def test_rss_watchdog_reexec_argv(tmp_path, monkeypatch):
+    """cli.train turns RestartForMemory into an os.execv with
+    --auto_resume + --start_seed_idx (RSS-leak recovery)."""
+    import slotformer_tpu.cli.train as T
+
+    cfg = tmp_path / "tiny_savi.py"
+    cfg.write_text(
+        "from slotformer_tpu.runtime import BaseParams\n"
+        "from tests.test_trainer import SAViParams as _P\n"
+        "class SlotFormerParams(_P):\n"
+        "    dataset = 'synthetic'\n"
+        "    num_videos_train = 8\n"
+        "    num_videos_val = 2\n"
+        "    video_len = 4\n"
+        "    n_sample_frames = 3\n"
+        "    frame_offset = 1\n"
+        "    max_rss_gb = 0.001\n"
+    )
+    calls = {}
+
+    def fake_execv(exe, argv):
+        calls["argv"] = argv
+        raise SystemExit(0)  # stop the loop like execv would
+
+    monkeypatch.setattr(os, "execv", fake_execv)
+    with pytest.raises(SystemExit):
+        T.main(["--params", str(cfg), "--ckp_path", str(tmp_path / "ckp"),
+                "--san_check_val_step", "0"])
+    argv = calls["argv"]
+    assert "--auto_resume" in argv and "--start_seed_idx" in argv
+    assert "--ckp_path" in argv
