@@ -40,6 +40,7 @@ def run_variant(name, overrides, max_epochs):
     params.eval_interval = max(max_epochs, 1)
     params.save_interval = 1e9  # no mid-run ckpts
     params.n_samples = 0
+    params.max_rss_gb = 110  # headroom: 3 variants share one process
     for k, v in overrides.items():
         if k == "num_slots":
             params.slot_dict = dict(params.slot_dict, num_slots=v)
@@ -78,8 +79,18 @@ def run_variant(name, overrides, max_epochs):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        # child mode: one variant in a fresh process (fresh tunnel client)
+        name = sys.argv[2]
+        epochs = int(sys.argv[3])
+        run_variant(name, VARIANTS[name], epochs)
+        sys.exit(0)
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    results = {}
-    for name, ov in VARIANTS.items():
-        results[name] = run_variant(name, ov, epochs)
-    print("[sweep] results:", results)
+    import subprocess
+    for name in VARIANTS:
+        print(f"[sweep] launching {name} ...", flush=True)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name,
+             str(epochs)],
+            check=False, timeout=3600,
+        )

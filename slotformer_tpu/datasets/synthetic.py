@@ -89,7 +89,7 @@ class SyntheticVideoDataset(Dataset):
             # a rendered 64x64x20 video is ~1 MB; cap well above typical
             # dataset sizes — re-rendering in python dominates step time
             # (measured 2.6 s/step vs 0.35 s/step warm)
-            if len(self._cache) > 1024:
+            if len(self._cache) > 4096:  # ~5 GB of 64x64x20 videos
                 self._cache.clear()
             self._cache[video_idx] = _render_video(
                 self._seed_base + video_idx,
