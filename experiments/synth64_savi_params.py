@@ -8,7 +8,7 @@ class SlotFormerParams(BaseParams):
     model = 'StoSAVi'
 
     dataset = 'synthetic'
-    num_videos_train = 200
+    num_videos_train = 2000
     num_videos_val = 16
     video_len = 20
     resolution = (64, 64)
@@ -31,16 +31,20 @@ class SlotFormerParams(BaseParams):
     dec_dict = dict(dec_channels=(128, 64, 64, 64, 64), dec_resolution=(8, 8),
                     dec_ks=5, dec_norm='')
     pred_dict = dict(pred_type='mlp', pred_rnn=False, pred_norm_first=True)
-    loss_dict = dict(use_post_recon_loss=True, kld_method='var-0.01')
+    # deterministic at this budget: the stochastic kernel path (reference
+    # kld_method='var-0.01') needs far more steps before slots bind to
+    # objects — swept on hardware (experiments/synth64_savi_sweep.py):
+    # det/lr4e-4/2000vids ARI 0.389 vs stochastic ARI -0.03 at 1.9k steps
+    loss_dict = dict(use_post_recon_loss=True, kld_method='none')
     post_recon_loss_w = 1.
-    kld_loss_w = 1e-4
+    kld_loss_w = 0.0
 
     optimizer = 'Adam'
-    lr = 2e-4
+    lr = 4e-4
     clip_grad = 0.05
     warmup_steps_pct = 0.05
-    max_epochs = 200
+    max_epochs = 12
     save_interval = 1.0
-    eval_interval = 20
+    eval_interval = 4
     print_iter = 20
     n_samples = 0  # video writing off during the timing run

@@ -9,7 +9,7 @@ class SlotFormerParams(BaseParams):
 
     dataset = 'synthetic_slots'
     slots_root = 'experiments/out_synth64/synth_slots.pkl'
-    num_videos_train = 200
+    num_videos_train = 2000
     num_videos_val = 16
     video_len = 20
     resolution = (64, 64)
@@ -40,8 +40,8 @@ class SlotFormerParams(BaseParams):
     optimizer = 'Adam'
     lr = 2e-4
     warmup_steps_pct = 0.05
-    max_epochs = 60
+    max_epochs = 20
     save_interval = 1.0
-    eval_interval = 20
+    eval_interval = 5
     print_iter = 20
     n_samples = 0
