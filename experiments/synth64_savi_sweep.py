@@ -40,7 +40,7 @@ def run_variant(name, overrides, max_epochs):
     params.eval_interval = max(max_epochs, 1)
     params.save_interval = 1e9  # no mid-run ckpts
     params.n_samples = 0
-    params.max_rss_gb = 110  # headroom: 3 variants share one process
+    params.max_rss_gb = 110  # short runs; don't trip the watchdog
     for k, v in overrides.items():
         if k == "num_slots":
             params.slot_dict = dict(params.slot_dict, num_slots=v)
@@ -79,7 +79,7 @@ def run_variant(name, overrides, max_epochs):
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+    if len(sys.argv) > 3 and sys.argv[1] == "--one":
         # child mode: one variant in a fresh process (fresh tunnel client)
         name = sys.argv[2]
         epochs = int(sys.argv[3])

@@ -52,10 +52,21 @@ def main(argv=None) -> None:
         params = load_params(args.params)
         seed = args.seed + k
         params.seed = seed
+        if not params.has("max_rss_gb"):
+            # enable the trainer's host-RSS watchdog (auto limit) for CLI
+            # runs — the tunneled-TPU client leaks per transfer (CLAUDE.md)
+            # and this CLI knows how to recover (re-exec below)
+            params.max_rss_gb = -1.0
         exp_name = os.path.splitext(os.path.basename(args.params))[0]
         if args.seeds > 1:
             exp_name = f"{exp_name}-seed{seed}"
         ckp_path = args.ckp_path or os.path.join("checkpoints", exp_name, "models")
+        if args.ckp_path and args.seeds > 1:
+            # explicit dir + multi-seed: per-seed subdirs, otherwise every
+            # seed shares one dir and (with --auto_resume after a watchdog
+            # restart) later seeds would resume the previous seed's final
+            # checkpoint and train zero steps
+            ckp_path = os.path.join(args.ckp_path, f"seed{seed}")
 
         built = build_dataset(params)
         collate_fn = None

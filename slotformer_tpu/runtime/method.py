@@ -44,8 +44,9 @@ class RestartForMemory(RuntimeError):
 
 def _rss_gb() -> float:
     try:
+        page = os.sysconf("SC_PAGE_SIZE")  # 4K x86, 16K/64K some arm64
         with open("/proc/self/statm") as f:
-            return int(f.read().split()[1]) * 4096 / 1e9
+            return int(f.read().split()[1]) * page / 1e9
     except (OSError, ValueError, IndexError):  # pragma: no cover - non-linux
         return 0.0
 
@@ -118,8 +119,10 @@ class BaseMethod:
         # so any long run eventually OOMs. When RSS crosses the limit the
         # trainer checkpoints and raises RestartForMemory — cli.train
         # re-execs itself with --auto_resume (preemption-resume semantics,
-        # same recovery path as a Slurm requeue). 0 disables.
-        self.max_rss_gb = float(params.get("max_rss_gb", -1.0))
+        # same recovery path as a Slurm requeue). Opt-in: 0/absent disables
+        # (direct fit() callers see no behavior change); -1 = auto (60% of
+        # MemTotal — what cli.train passes); >0 = explicit limit in GB.
+        self.max_rss_gb = float(params.get("max_rss_gb", 0.0))
         if self.max_rss_gb < 0:  # auto: 60% of MemTotal
             try:
                 with open("/proc/meminfo") as f:
@@ -337,8 +340,9 @@ class BaseMethod:
             "GB (tunnel-client transfer leak) — checkpointing for restart",
             flush=True,
         )
-        self.save_ckp()
-        self._join_ckp_writer()  # execv replaces the process: flush first
+        # every call site runs save_ckp() immediately before; just flush
+        # the async writer so execv doesn't drop the in-flight checkpoint
+        self._join_ckp_writer()
         self._close_log()
         raise RestartForMemory(f"rss {rss:.1f} GB >= {self.max_rss_gb:.1f} GB")
 
@@ -354,7 +358,14 @@ class BaseMethod:
         t0 = time.perf_counter()
         last_print_it = self.it
         pending = []  # batches awaiting a fused multi-step call
+        # mid-epoch resume (fractional save_interval + preemption/watchdog
+        # restart): skip the batches this epoch already consumed so steps
+        # aren't replayed and the run ends at exactly total_steps
+        skip = self.it % self.steps_per_epoch
         for batch in self.train_loader:
+            if skip > 0:
+                skip -= 1
+                continue
             if self._profile_steps and self.it == int(self._profile_steps[0]):
                 jax.profiler.start_trace(os.path.join(self.ckp_path, "profile"))
             if self.steps_per_call > 1:
@@ -405,7 +416,10 @@ class BaseMethod:
                 )
             if self.it % save_every < self.steps_per_call:
                 self.save_ckp()
-                self._maybe_restart()
+                if self.it % self.steps_per_epoch != 0:
+                    # at an exact epoch boundary fit() validates first and
+                    # then runs the watchdog — don't skip that eval
+                    self._maybe_restart()
         # fused mode: run leftover batches (epoch length not divisible by
         # steps_per_call) through the single-step path so no data is dropped;
         # keep the same logging/checkpoint bookkeeping as the main loop so a
@@ -431,7 +445,8 @@ class BaseMethod:
                 )
             if self.it % save_every == 0:
                 self.save_ckp()
-                self._maybe_restart()
+                if self.it % self.steps_per_epoch != 0:
+                    self._maybe_restart()
 
     def _val_batches(self, san_check_step: int = -1):
         """Yield (raw_batch, device_batch, batch_size) over the val loader."""

@@ -338,3 +338,35 @@ def test_rss_watchdog_reexec_argv(tmp_path, monkeypatch):
     argv = calls["argv"]
     assert "--auto_resume" in argv and "--start_seed_idx" in argv
     assert "--ckp_path" in argv
+
+
+def test_mid_epoch_resume_exact_step_count(tmp_path):
+    """Resume from a fractional-save_interval checkpoint: the epoch
+    fast-forward skips already-consumed batches so the run ends at exactly
+    total_steps (no replay/overshoot)."""
+    params = SAViParams()
+    params.save_interval = 0.5  # mid-epoch checkpoints
+    dm = BaseDataModule(params, _SyntheticVideo(32), _SyntheticVideo(8, seed=1))
+    model = build_model(params)
+    m1 = build_method(model=model, datamodule=dm, params=params,
+                      ckp_path=str(tmp_path / "ckp"))
+    m1.setup_state()
+    m1.fit(san_check_val_step=0)
+    total = m1.max_epochs * m1.steps_per_epoch
+    assert m1.it == total
+
+    # pick a mid-epoch checkpoint and resume from it
+    from slotformer_tpu.runtime.checkpoint import load_checkpoint
+
+    cks = sorted(
+        (f for f in os.listdir(tmp_path / "ckp")
+         if f.startswith("model_") and f.endswith(".ckpt.pkl")),
+        key=lambda f: int(f.split("_")[1].split(".")[0]),
+    )
+    mid = next(f for f in cks
+               if int(f.split("_")[1].split(".")[0]) % m1.steps_per_epoch)
+    m2 = build_method(model=model, datamodule=dm, params=params,
+                      ckp_path=str(tmp_path / "ckp2"))
+    m2.setup_state()
+    m2.fit(resume_from=str(tmp_path / "ckp" / mid), san_check_val_step=0)
+    assert m2.it == total, (m2.it, total)
