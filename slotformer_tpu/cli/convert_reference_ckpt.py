@@ -46,14 +46,18 @@ def _dummy_batch(params):
                 np.float32),
             "label": np.zeros((B,), np.int32),
         }
-    raise NotImplementedError(
-        f"cannot convert model {m!r}"
-        + (": the reference CLEVRERAloe transformer encoder lives inside the"
-           " external `nerv` package (not in the reference repo), so its"
-           " weights have no golden-verified mapping — retrain the VQA head"
-           " (cheap: ~hours) on converted rollout slots instead."
-           if m == "CLEVRERAloe" else "")
-    )
+    if m == "CLEVRERAloe":
+        L = params.max_question_len + params.max_choice_len
+        return {
+            "video_emb": np.zeros(
+                (B, params.n_sample_frames, params.max_n_objects + 1,
+                 params.slot_size), np.float32),
+            "q_tokens": np.zeros((B, L), np.int32),
+            "q_pad_mask": np.zeros((B, L), bool),
+            "is_cls": np.zeros((B,), bool),
+            "label": np.zeros((B,), np.int32),
+        }
+    raise NotImplementedError(f"cannot convert model {m!r}")
 
 
 def convert_state_dict(params, sd: dict) -> dict:
@@ -96,6 +100,9 @@ def convert_state_dict(params, sd: dict) -> dict:
     if m == "PHYREReadout":
         rd = params.readout_dict
         return tc.phyre_readout(sd, rd["num_layers"], rd["num_heads"])
+    if m == "CLEVRERAloe":
+        td = params.transformer_dict
+        return tc.aloe(sd, td["num_layers"], td["num_heads"])
     raise NotImplementedError(m)
 
 

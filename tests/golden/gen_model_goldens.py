@@ -19,6 +19,7 @@ Components:
   g_steve   STEVETransformerDecoder fwd + greedy generate (steve_transformer.py)
   g_dvae    dVAE encode logits / token ids / detokenize (dVAE.py:12-100)
   g_savi    StoSAVi.encode, T=4 video, RNN predictor  (savi.py:367-415)
+  g_aloe    CLEVRERTransformerModel cls+mc forward    (clevrer_vqa/models/transformer.py)
 
 Run from the repo root:  python tests/golden/gen_model_goldens.py
 (needs /root/reference checked out; the committed .npz does not)
@@ -78,11 +79,31 @@ def _install_nerv_stub():
     models.conv_norm_act = conv_norm_act
     models.deconv_norm_act = deconv_norm_act
     models.deconv_out_shape = deconv_out_shape
+
+    # nerv.utils helpers the VQA transformer imports
+    # (clevrer_vqa/models/transformer.py:5): concat a fixed tag vector onto
+    # the last dim / gather one row per batch element.
+    utils = types.ModuleType("nerv.utils")
+
+    def batch_cat_vec(x, vec, dim=-1):
+        assert dim == -1, "reference only uses dim=-1"
+        v = vec.view(*([1] * (x.dim() - 1)), -1)
+        v = v.expand(*x.shape[:-1], vec.shape[0])
+        return torch.cat([x, v], dim=-1)
+
+    def batch_gather(x, idx):
+        return x[torch.arange(x.shape[0], device=x.device), idx.long()]
+
+    utils.batch_cat_vec = batch_cat_vec
+    utils.batch_gather = batch_gather
+
     nerv.training = training
     nerv.models = models
+    nerv.utils = utils
     sys.modules["nerv"] = nerv
     sys.modules["nerv.training"] = training
     sys.modules["nerv.models"] = models
+    sys.modules["nerv.utils"] = utils
 
 
 def _load(name, relpath, pkg_dir):
@@ -396,12 +417,93 @@ def main() -> None:
     _pack(store, "g_phyrero", _sd_np(phyrero), {"slots": slots},
           {"logits": out["logits"].numpy()})
 
+    # ---- g_aloe: CLEVRER VQA transformer (Aloe) — cls + mc forward.
+    # nerv's build_transformer_encoder surface: learnable/sin PE (built by
+    # build_pos_enc, registered as attribute ``pos_enc``) added to the input,
+    # then a standard torch nn.TransformerEncoder (batch_first, pre-LN when
+    # norm_first, final LN only when norm_last) — exactly what the reference
+    # configures with norm_last=False (clevrer_vqa/models/transformer.py:23-32).
+    def build_transformer_encoder(input_len, pos_enc, d_model, num_heads,
+                                  ffn_dim, num_layers, norm_first=True,
+                                  norm_last=True):
+        class _Enc(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.pos_enc = sf_mod.build_pos_enc(pos_enc, input_len, d_model)
+                layer = nn.TransformerEncoderLayer(
+                    d_model, num_heads, dim_feedforward=ffn_dim, dropout=0.1,
+                    norm_first=norm_first, batch_first=True,
+                )
+                self.transformer_encoder = nn.TransformerEncoder(
+                    layer, num_layers,
+                    norm=nn.LayerNorm(d_model) if norm_last else None,
+                )
+
+            def forward(self, x, src_key_padding_mask=None):
+                if self.pos_enc is not None:
+                    x = x + self.pos_enc
+                return self.transformer_encoder(
+                    x, src_key_padding_mask=src_key_padding_mask)
+
+        return _Enc()
+
+    trans_stub.build_transformer_encoder = build_transformer_encoder
+    vqa_mod = _load(
+        "refvqa.transformer", "slotformer/clevrer_vqa/models/transformer.py",
+        os.path.join(REF, "slotformer/clevrer_vqa/models"),
+    )
+    torch.manual_seed(15)
+    T, N, QL, CL = 2, 3, 4, 3
+    L = QL + CL
+    aloe = vqa_mod.CLEVRERTransformerModel(
+        transformer_dict=dict(
+            input_len=T * N + L, input_dim=16, pos_enc="learnable",
+            num_layers=2, num_heads=2, ffn_dim=32, norm_first=True,
+            cls_mlp_size=8,
+        ),
+        lang_dict=dict(question_len=QL, question_vocab_size=20,
+                       answer_vocab_size=5),
+        vision_dict=dict(vision_dim=16),
+        loss_dict=dict(use_mask_obj_loss=False),
+    ).eval()
+    with torch.no_grad():
+        # CLS and the learnable PE are zero-init; randomize so the golden
+        # actually exercises their conversion paths
+        aloe.CLS.normal_(std=0.5)
+        aloe.transformer_encoder.pos_enc.normal_(std=0.5)
+        cls_v = rng.randn(2, T, N, 16).astype(np.float32)
+        cls_q = rng.randint(0, 20, size=(2, L)).astype(np.int64)
+        cls_pad = np.zeros((2, L), bool)
+        cls_pad[:, QL + 1:] = True  # cls rows: (most of) choice part padded
+        mc_v = rng.randn(2, T, N, 16).astype(np.float32)
+        mc_q = rng.randint(0, 20, size=(3, L)).astype(np.int64)
+        mc_pad = np.zeros((3, L), bool)
+        mc_pad[0, L - 1:] = True
+        mc_flag = np.array([0, 1, 1], np.int64)
+        out = aloe({
+            "cls_video_emb": torch.from_numpy(cls_v),
+            "cls_q_tokens": torch.from_numpy(cls_q),
+            "cls_q_pad_mask": torch.from_numpy(cls_pad),
+            "mc_video_emb": torch.from_numpy(mc_v),
+            "mc_q_tokens": torch.from_numpy(mc_q),
+            "mc_q_pad_mask": torch.from_numpy(mc_pad),
+            "mc_flag": torch.from_numpy(mc_flag),
+        })
+    _pack(
+        store, "g_aloe", _sd_np(aloe),
+        {"cls_video_emb": cls_v, "cls_q_tokens": cls_q,
+         "cls_q_pad_mask": cls_pad, "mc_video_emb": mc_v, "mc_q_tokens": mc_q,
+         "mc_q_pad_mask": mc_pad, "mc_flag": mc_flag},
+        {"cls_logits": out["cls_answer_logits"].numpy(),
+         "mc_logits": out["mc_answer_logits"].numpy()},
+    )
+
     out_path = os.path.join(HERE, "model_goldens.npz")
     np.savez_compressed(out_path, **store)
     print(f"wrote {out_path}: {len(store)} arrays")
     for tag in ("g_sa", "g_tp", "g_mlp", "g_kd", "g_roll", "g_ssroll", "g_steve",
                 "g_dvae", "g_savi", "g_stevefull", "g_stevesf", "g_physro",
-                "g_phyrero"):
+                "g_phyrero", "g_aloe"):
         n = sum(1 for k in store if k.startswith(tag + "/"))
         print(f"  {tag}: {n} arrays")
 

@@ -7,7 +7,6 @@ checkpoint reproduces the reference outputs through the public model API.
 """
 
 import numpy as np
-import pytest
 import torch
 
 from slotformer_tpu.cli.convert_reference_ckpt import main as convert_main
@@ -112,13 +111,68 @@ def test_convert_physion_readout_ckpt(tmp_path, capsys):
                                rtol=2e-3, atol=2e-4)
 
 
-def test_convert_aloe_refuses_with_guidance(tmp_path):
+ALOE_CFG = """
+import json
+from slotformer_tpu.runtime import BaseParams
+
+
+class SlotFormerParams(BaseParams):
+    model = 'CLEVRERAloe'
+    vocab_file = {vocab_file!r}
+    slot_size = 16
+    n_sample_frames = 2
+    max_n_objects = 2
+    max_question_len = 4
+    max_choice_len = 3
+    transformer_dict = dict(
+        input_len=2 * 3 + 7, input_dim=16, pos_enc='learnable',
+        num_layers=2, num_heads=2, ffn_dim=32, norm_first=True,
+        cls_mlp_size=8)
+    vision_dict = dict(vision_dim=16)
+    loss_dict = dict(use_mask_obj_loss=False)
+"""
+
+
+def test_convert_aloe_ckpt(tmp_path, capsys):
+    """Every reference CLEVRERAloe parameter converts; the converted ckpt
+    reproduces the reference cls/mc logits through the public model API."""
+    import json
+
+    sd, ins, outs = _golden("g_aloe")
+    ref = _ref_pth(tmp_path, sd)
+    vocab_file = str(tmp_path / "vocab.json")
+    with open(vocab_file, "w") as f:
+        json.dump({"q_vocab": [f"w{i}" for i in range(20)],
+                   "a_vocab": [f"a{i}" for i in range(5)]}, f)
     cfg = str(tmp_path / "aloe_cfg.py")
     with open(cfg, "w") as f:
-        f.write("from slotformer_tpu.runtime import BaseParams\n"
-                "class SlotFormerParams(BaseParams):\n"
-                "    model = 'CLEVRERAloe'\n")
-    ref = _ref_pth(tmp_path, {"x": np.zeros(1, np.float32)})
-    with pytest.raises(NotImplementedError, match="nerv"):
-        convert_main(["--params", cfg, "--ref_ckpt", ref,
-                      "--save_path", str(tmp_path / "x.pkl")])
+        f.write(ALOE_CFG.format(vocab_file=vocab_file))
+    out_ckp = str(tmp_path / "aloe.ckpt.pkl")
+    convert_main(["--params", cfg, "--ref_ckpt", ref,
+                  "--save_path", out_ckp])
+    out = capsys.readouterr().out
+    assert "WARNING" not in out  # every leaf mapped
+
+    from slotformer_tpu.models import build_model
+    from slotformer_tpu.runtime import load_params
+
+    params_tree = load_state_dict(out_ckp)
+    model = build_model(load_params(cfg))
+    mc_flag = ins["mc_flag"].astype(int)
+    n_cls = len(ins["cls_q_tokens"])
+    batch = {
+        "video_emb": np.concatenate(
+            [ins["cls_video_emb"], ins["mc_video_emb"][mc_flag]], 0),
+        "q_tokens": np.concatenate(
+            [ins["cls_q_tokens"], ins["mc_q_tokens"]], 0).astype(np.int32),
+        "q_pad_mask": np.concatenate(
+            [ins["cls_q_pad_mask"], ins["mc_q_pad_mask"]], 0),
+        "is_cls": np.array([True] * n_cls + [False] * len(mc_flag)),
+    }
+    got = model.apply({"params": params_tree}, batch)
+    np.testing.assert_allclose(
+        np.asarray(got["cls_answer_logits"])[:n_cls], outs["cls_logits"],
+        rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(got["mc_answer_logits"])[n_cls:], outs["mc_logits"],
+        rtol=2e-3, atol=2e-4)

@@ -341,3 +341,51 @@ def test_steve_slotformer_full_model_parity(store):
     got = model.apply({"params": params}, ins["past"], 3, method="rollout")
     np.testing.assert_allclose(np.asarray(got), outs["pred"], rtol=RTOL,
                                atol=ATOL)
+
+
+def test_aloe_parity(store):
+    """tc.aloe maps every trainable reference CLEVRERTransformerModel param
+    (encoder via nerv's build_transformer_encoder surface); the row-based
+    flax forward reproduces the reference's separate cls/mc forwards
+    (clevrer_vqa/models/transformer.py:180-324)."""
+    from slotformer_tpu.models.aloe import CLEVRERAloe
+
+    sd, ins, outs = _group(store, "g_aloe")
+    T, N, QL, L = 2, 3, 4, 7
+    model = CLEVRERAloe(
+        transformer_dict=dict(
+            input_len=T * N + L, input_dim=16, pos_enc="learnable",
+            num_layers=2, num_heads=2, ffn_dim=32, norm_first=True,
+            cls_mlp_size=8,
+        ),
+        lang_dict=dict(question_len=QL, question_vocab_size=20,
+                       answer_vocab_size=5),
+        vision_dict=dict(vision_dim=16),
+        loss_dict=dict(use_mask_obj_loss=False),
+    )
+    # reference splits cls and mc rows into two forwards; our row-based
+    # batching concatenates them (video repeated per mc choice via mc_flag)
+    mc_flag = ins["mc_flag"].astype(int)
+    n_cls = len(ins["cls_q_tokens"])
+    batch = {
+        "video_emb": np.concatenate(
+            [ins["cls_video_emb"], ins["mc_video_emb"][mc_flag]], 0),
+        "q_tokens": np.concatenate(
+            [ins["cls_q_tokens"], ins["mc_q_tokens"]], 0).astype(np.int32),
+        "q_pad_mask": np.concatenate(
+            [ins["cls_q_pad_mask"], ins["mc_q_pad_mask"]], 0),
+        "is_cls": np.array([True] * n_cls + [False] * len(mc_flag)),
+    }
+    params = tc.aloe(sd, num_layers=2, num_heads=2)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    import chex
+
+    chex.assert_trees_all_equal_shapes(params, variables["params"])
+    got = model.apply({"params": params}, batch)
+    np.testing.assert_allclose(
+        np.asarray(got["cls_answer_logits"])[:n_cls], outs["cls_logits"],
+        rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(got["mc_answer_logits"])[n_cls:], outs["mc_logits"],
+        rtol=RTOL, atol=ATOL)
