@@ -57,3 +57,76 @@ def test_pad_batch_to():
     assert mask.sum() == 5
     same, mask2 = pad_batch_to({"x": np.ones((8, 3))}, 8)
     assert same["x"].shape == (8, 3) and mask2.all()
+
+
+def test_single_vs_multi_device_train_equivalence():
+    """DDP-equivalence: N optimizer steps of the tiny SlotFormer on a
+    1-device mesh and on the full 4x2 mesh, with the IDENTICAL global batch
+    and rng keys, must produce the same final params (the property the
+    reference gets from NCCL allreduce, scripts/sbatch_run.sh:36-42). Only
+    f32 reduction-order noise is tolerated."""
+    import os
+    import sys
+
+    import optax
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+    from slotformer_tpu.runtime.params import BaseParams
+    from slotformer_tpu.runtime.schedules import build_optimizer
+
+    model = g._flagship_model(tiny=True)
+    B, T = 8, 6
+    rs = np.random.RandomState(0)
+    batch = {
+        "slots": rs.randn(B, T, 4, 16).astype(np.float32),
+        "img": rs.uniform(-1, 1, (B, T, 16, 16, 3)).astype(np.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    class _P(BaseParams):
+        lr = 1e-3
+        optimizer = "Adam"
+        warmup_steps_pct = 0.1
+        clip_grad = 0.05
+
+    tx = build_optimizer(_P(), total_steps=100, frozen_prefixes=("decoder",))
+
+    @jax.jit
+    def train_step(params, opt_state, batch, step):
+        def loss_fn(p):
+            losses = model.apply(
+                {"params": p}, batch, method="train_loss",
+                rngs={"dropout": jax.random.fold_in(jax.random.PRNGKey(1), step)},
+            )
+            return sum(jnp.asarray(v) for v in losses.values())
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def run(mesh, n_steps=3):
+        params = replicate(mesh, variables["params"])
+        opt_state = replicate(mesh, tx.init(jax.device_get(params)))
+        sbatch = shard_batch(mesh, batch)
+        losses = []
+        for i in range(n_steps):
+            params, opt_state, loss = train_step(params, opt_state, sbatch, i)
+            losses.append(float(loss))
+        return jax.device_get(params), losses
+
+    devices = jax.devices()
+    params_1, losses_1 = run(get_mesh(n_model=1, devices=devices[:1]))
+    params_8, losses_8 = run(get_mesh(n_model=2, devices=devices))
+
+    np.testing.assert_allclose(losses_8, losses_1, rtol=1e-5, atol=1e-6)
+    flat_1 = jax.tree_util.tree_leaves_with_path(params_1)
+    flat_8 = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(params_8)
+    )
+    for k, v1 in flat_1:
+        np.testing.assert_allclose(
+            flat_8[jax.tree_util.keystr(k)], v1, rtol=1e-4, atol=1e-5,
+            err_msg=f"param {jax.tree_util.keystr(k)} diverged",
+        )
