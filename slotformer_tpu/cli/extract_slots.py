@@ -155,9 +155,17 @@ def main(argv=None) -> None:
     save_path = args.save_path
     if not save_path:
         cfg = os.path.splitext(os.path.basename(args.params))[0]
-        save_path = os.path.join("data", f"{cfg.replace('_params', '')}_slots.pkl")
-    if physion:
-        assert subset in os.path.basename(save_path), (
+        stem = cfg.replace("_params", "")
+        if physion:
+            # bake the subset into the default so plain --params/--weight
+            # invocations produce distinct files per subset
+            stem = f"{stem}_{subset}"
+        save_path = os.path.join("data", f"{stem}_slots.pkl")
+    elif physion:
+        # user-supplied path: check the FULL path like the reference does
+        # (extract_slots.py:156), so e.g. data/physion_training/slots.pkl
+        # passes
+        assert subset in save_path, (
             "include the physion subset in save_path to differentiate slot "
             "files (reference extract_slots.py:156)")
 

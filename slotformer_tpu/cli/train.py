@@ -53,10 +53,18 @@ def main(argv=None) -> None:
         seed = args.seed + k
         params.seed = seed
         if not params.has("max_rss_gb"):
-            # enable the trainer's host-RSS watchdog (auto limit) for CLI
-            # runs — the tunneled-TPU client leaks per transfer (CLAUDE.md)
-            # and this CLI knows how to recover (re-exec below)
-            params.max_rss_gb = -1.0
+            # enable the trainer's host-RSS watchdog (auto limit) only on
+            # the tunneled-TPU (axon) platform, whose IFRT-proxy client
+            # leaks host memory per transfer (CLAUDE.md) — this CLI knows
+            # how to recover (re-exec below). Healthy platforms with a
+            # legitimately large host footprint (dataset caches) should not
+            # churn through checkpoint->execv cycles; opt in explicitly via
+            # SLOTFORMER_RSS_WATCHDOG=1 or params.max_rss_gb.
+            import jax
+
+            if jax.default_backend() == "axon" or os.environ.get(
+                    "SLOTFORMER_RSS_WATCHDOG"):
+                params.max_rss_gb = -1.0
         exp_name = os.path.splitext(os.path.basename(args.params))[0]
         if args.seeds > 1:
             exp_name = f"{exp_name}-seed{seed}"

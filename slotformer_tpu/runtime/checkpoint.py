@@ -33,10 +33,24 @@ def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+# Checkpoint format version, stamped into every saved payload:
+#   2 — DeconvNormAct stores torch-exact ConvTranspose2d kernels
+#       ([kH, kW, out, in], transpose_kernel=True; models/nn.py). Version-1
+#       (round-1) checkpoints stored [kH, kW, in, out]; for decoders whose
+#       deconv layers have in==out channels the shapes coincide, so an old
+#       checkpoint would load silently and decode garbage — the version
+#       stamp makes that loud.
+FORMAT_VERSION = 2
+
+
 def save_checkpoint(path: str, state_dict, step: int = 0, **extra) -> None:
     """Atomically write a checkpoint pickle."""
     mkdir_or_exist(os.path.dirname(path))
-    payload = {"state_dict": _to_numpy(state_dict), "step": int(step)}
+    payload = {
+        "state_dict": _to_numpy(state_dict),
+        "step": int(step),
+        "format_version": FORMAT_VERSION,
+    }
     for k, v in extra.items():
         payload[k] = _to_numpy(v) if isinstance(v, (dict, list, tuple)) or hasattr(v, "shape") else v
     tmp = path + ".tmp"
@@ -45,9 +59,35 @@ def save_checkpoint(path: str, state_dict, step: int = 0, **extra) -> None:
     os.replace(tmp, path)
 
 
+def _has_deconv(tree) -> bool:
+    if isinstance(tree, Mapping):
+        return any(
+            k.startswith("ConvTranspose") or _has_deconv(v)
+            for k, v in tree.items()
+        )
+    return False
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
     with open(path, "rb") as f:
-        return pickle.load(f)
+        payload = pickle.load(f)
+    ver = payload.get("format_version")
+    if ver is not None and ver > FORMAT_VERSION:
+        raise ValueError(
+            f"{path}: checkpoint format_version {ver} is newer than this "
+            f"framework's {FORMAT_VERSION} — upgrade the framework")
+    if ver is None and _has_deconv(payload.get("state_dict", {})):
+        import warnings
+
+        warnings.warn(
+            f"{path}: checkpoint predates the format_version stamp and "
+            "contains ConvTranspose kernels. If it was written by the "
+            "round-1 deconv geometry ([kH,kW,in,out]) its decoder will "
+            "load without error but decode garbage — re-convert from the "
+            "reference ckpt or retrain (see models/nn.py DeconvNormAct).",
+            stacklevel=2,
+        )
+    return payload
 
 
 def load_state_dict(path: str):

@@ -114,7 +114,15 @@ class DataLoader:
         return self.collate_fn(samples)
 
     def __iter__(self):
-        batches = self._batches()
+        yield from self.iter_from(0)
+
+    def iter_from(self, skip_batches: int):
+        """Iterate from batch index ``skip_batches`` of this epoch's
+        deterministic order. Mid-epoch resume skips at the INDEX level —
+        no loading/augmentation is paid for consumed batches (the epoch
+        permutation depends only on (seed, epoch), so slicing it preserves
+        exact replay)."""
+        batches = self._batches()[skip_batches:]
         if self.num_workers == 0:
             for idxs in batches:
                 yield self._load_batch(idxs, None)

@@ -130,6 +130,13 @@ class BaseMethod:
                 self.max_rss_gb = 0.6 * total_kb / 1e6
             except (OSError, ValueError, IndexError):
                 self.max_rss_gb = 0.0
+        if self.max_rss_gb > 0:
+            # surface the effective limit so restart churn is diagnosable
+            print(
+                f"[trainer] host-RSS watchdog enabled: limit "
+                f"{self.max_rss_gb:.1f} GB (checkpoint + re-exec on breach)",
+                flush=True,
+            )
         self._wandb = None
         if params.get("use_wandb", False):
             try:
@@ -360,12 +367,11 @@ class BaseMethod:
         pending = []  # batches awaiting a fused multi-step call
         # mid-epoch resume (fractional save_interval + preemption/watchdog
         # restart): skip the batches this epoch already consumed so steps
-        # aren't replayed and the run ends at exactly total_steps
+        # aren't replayed and the run ends at exactly total_steps. The skip
+        # happens at the sampler-index level (iter_from) so no host
+        # loading/augmentation is paid for already-consumed batches.
         skip = self.it % self.steps_per_epoch
-        for batch in self.train_loader:
-            if skip > 0:
-                skip -= 1
-                continue
+        for batch in self.train_loader.iter_from(skip):
             if self._profile_steps and self.it == int(self._profile_steps[0]):
                 jax.profiler.start_trace(os.path.join(self.ckp_path, "profile"))
             if self.steps_per_call > 1:

@@ -182,3 +182,57 @@ def test_dataloader_abandoned_iterator_no_thread_leak():
     assert threading.active_count() <= before, (
         f"leaked threads: {threading.enumerate()}"
     )
+
+
+def test_checkpoint_format_version(tmp_path):
+    """Every saved ckpt is stamped; unstamped (round-1) payloads containing
+    ConvTranspose kernels warn loudly (old deconv geometry loads without a
+    shape error when in==out channels); future versions hard-fail."""
+    import pickle
+
+    from slotformer_tpu.runtime import checkpoint as C
+
+    p = str(tmp_path / "x.ckpt.pkl")
+    tree = {"decoder": {"deconv_0": {"ConvTranspose_0": {
+        "kernel": np.zeros((3, 3, 4, 4), np.float32)}}}}
+    C.save_checkpoint(p, tree)
+    payload = C.load_checkpoint(p)
+    assert payload["format_version"] == C.FORMAT_VERSION
+
+    del payload["format_version"]
+    with open(p, "wb") as f:
+        pickle.dump(payload, f)
+    with pytest.warns(UserWarning, match="deconv geometry"):
+        C.load_checkpoint(p)
+
+    payload["format_version"] = C.FORMAT_VERSION + 1
+    with open(p, "wb") as f:
+        pickle.dump(payload, f)
+    with pytest.raises(ValueError, match="format_version"):
+        C.load_checkpoint(p)
+
+
+def test_dataloader_iter_from_skips_at_index_level():
+    """iter_from(k) must yield exactly the batches after k of the SAME epoch
+    order, without touching the skipped samples (mid-epoch resume cost)."""
+    touched = []
+
+    class DS:
+        def __len__(self):
+            return 20
+
+        def __getitem__(self, i):
+            touched.append(i)
+            return {"x": np.full((2,), i, np.float32)}
+
+    dl = DataLoader(DS(), batch_size=4, shuffle=True, drop_last=True,
+                    seed=3, num_workers=0)
+    dl.set_epoch(1)
+    full = [b["x"].copy() for b in dl]
+    touched.clear()
+    tail = [b["x"].copy() for b in dl.iter_from(3)]
+    assert len(tail) == len(full) - 3
+    for a, b in zip(tail, full[3:]):
+        np.testing.assert_array_equal(a, b)
+    # only the tail's samples were loaded
+    assert len(touched) == 4 * len(tail)
