@@ -105,6 +105,13 @@ def main(argv=None) -> None:
     rollout_len = params.n_sample_frames - history_len
     eval_traj = params.get("load_mask", False)
     num_slots = params.slot_dict["num_slots"]
+    # dataset-level constant: mask ids are bounded by the dataset's object
+    # cap (background id 0 + max_n_objects). A per-batch max() here would
+    # recompile the jitted one-hot/einsum metric tables on every batch whose
+    # max id differs (the reference has no jit so never cared).
+    max_mask_ids = 1 + int(
+        params.get("max_n_objects", params.get("num_objects", num_slots - 1)))
+    num_classes = max(num_slots, max_mask_ids)
 
     @jax.jit
     def forward(p, batch):
@@ -143,6 +150,9 @@ def main(argv=None) -> None:
             traj_stats["pred_ids_max"] = max(
                 traj_stats["pred_ids_max"], int(pred_mask.max())
             )
+            assert traj_stats["gt_ids_max"] < num_classes, (
+                f"gt mask id {traj_stats['gt_ids_max']} exceeds the dataset "
+                f"object cap ({num_classes=}) — fix params.max_n_objects")
         md = pred_eval_step(
             gt=gt,
             pred=pred,
@@ -153,7 +163,7 @@ def main(argv=None) -> None:
             gt_bbox=gt_bbox if traj else None,
             pred_bbox=pred_bbox if traj else None,
             eval_traj=traj,
-            num_classes=max(num_slots, int(gt_mask.max()) + 1) if traj else None,
+            num_classes=num_classes if traj else None,
         )
         for i in range(rollout_len):
             for m in METRICS:

@@ -191,6 +191,7 @@ def build_synthetic_dataset(params, val_only=False):
         n_sample_frames=params.n_sample_frames,
         frame_offset=params.frame_offset,
         load_mask=params.get("load_mask", False),
+        num_objects=params.get("num_objects", 4),
         obj_size_range=params.get("obj_size_range", (0.08, 0.16)),
     )
     val_dataset = SyntheticVideoDataset(**args)
@@ -212,6 +213,7 @@ def build_synthetic_slots_dataset(params, val_only=False):
         resolution=params.resolution,
         n_sample_frames=params.n_sample_frames,
         frame_offset=params.frame_offset,
+        num_objects=params.get("num_objects", 4),
         obj_size_range=params.get("obj_size_range", (0.08, 0.16)),
     )
     val_dataset = SyntheticSlotsDataset(
@@ -228,6 +230,7 @@ def build_synthetic_slots_dataset(params, val_only=False):
         resolution=params.resolution,
         n_sample_frames=params.n_sample_frames,
         frame_offset=params.frame_offset,
+        num_objects=params.get("num_objects", 4),
         obj_size_range=params.get("obj_size_range", (0.08, 0.16)),
     )
     train_dataset = SyntheticSlotsDataset(

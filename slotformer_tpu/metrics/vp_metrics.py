@@ -310,6 +310,32 @@ def _pixel_metrics_all_t(gt, pred, T):
     return mse, psnr, ssim
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _traj_tables_all_t(gt_mask, pred_mask, num_classes):
+    """gt/pred [B, T, H, W] int ids -> per-step ARI [T], FG-ARI [T], IoU
+    tables [B, T, C-1, C] and present-gt [B, T, C-1] in ONE device program
+    (the reference loops per frame with a device sync each step; per-call
+    RTT on the tunneled TPU makes that T x 3 x ~60 ms of pure overhead)."""
+    B, T, H, W = gt_mask.shape
+    g = gt_mask.reshape(B * T, 1, H, W)
+    p = pred_mask.reshape(B * T, 1, H, W)
+    ari = adjusted_rand_index(g, p, num_classes).reshape(B, T).mean(0)
+    fari = adjusted_rand_index(
+        g, p, num_classes, ignore_background=True).reshape(B, T).mean(0)
+    gm = gt_mask.reshape(B * T, H * W)
+    pm = pred_mask.reshape(B * T, H * W)
+    tables = pairwise_iou_tables(gm, pm, num_classes, num_classes)
+    present = (
+        jax.nn.one_hot(gm, num_classes, dtype=jnp.float32)[..., 1:].sum(1) > 0
+    )
+    return (
+        ari,
+        fari,
+        tables.reshape(B, T, num_classes - 1, num_classes),
+        present.reshape(B, T, num_classes - 1),
+    )
+
+
 def pred_eval_step(
     gt,
     pred,
@@ -338,12 +364,18 @@ def pred_eval_step(
     mse, psnr, ssim = _pixel_metrics_all_t(gt, pred, T)
     mse, psnr, ssim = np.asarray(mse), np.asarray(psnr), np.asarray(ssim)
 
-    all_percept = []
-    for t in range(T):
-        if lpips_fn is None:
-            all_percept.append(0.0)
-        else:
-            all_percept.append(float(np.mean(lpips_fn(gt[:, t], pred[:, t]))))
+    if lpips_fn is None:
+        all_percept = [0.0] * T
+    else:
+        # one batched call over all timesteps instead of T dispatches
+        B = gt.shape[0]
+        d = np.asarray(
+            lpips_fn(
+                gt.reshape((B * T,) + gt.shape[2:]),
+                pred.reshape((B * T,) + pred.shape[2:]),
+            )
+        ).reshape(B, T)
+        all_percept = d.mean(0).tolist()
 
     all_ari, all_fari, all_miou, all_ap, all_ar = [], [], [], [], []
     if eval_traj:
@@ -351,11 +383,20 @@ def pred_eval_step(
         gt_mask = np.asarray(gt_mask)
         pred_mask = np.asarray(pred_mask)
         nc = num_classes or int(max(gt_mask.max(), pred_mask.max()) + 1)
+        B = gt_mask.shape[0]
+        ari_t, fari_t, tables, present = _traj_tables_all_t(
+            jnp.asarray(gt_mask), jnp.asarray(pred_mask.astype(np.int32)), nc
+        )
+        all_ari = np.asarray(ari_t).astype(float).tolist()
+        all_fari = np.asarray(fari_t).astype(float).tolist()
+        tables = np.asarray(tables)
+        present = np.asarray(present)
         for t in range(T):
-            gm, pm = gt_mask[:, t], pred_mask[:, t]
-            all_ari.append(ARI_metric(gm, pm, nc))
-            all_fari.append(fARI_metric(gm, pm, nc))
-            all_miou.append(miou_metric(gm, pm, nc, nc))
+            # tiny host Hungarians (<=C x C) over precomputed device tables
+            all_miou.append(float(np.mean([
+                hungarian_miou_from_table(tables[i, t], present[i, t])
+                for i in range(B)
+            ])))
             ap, ar = batch_bbox_precision_recall(
                 np.asarray(gt_pres_mask)[:, t],
                 np.asarray(gt_bbox)[:, t],

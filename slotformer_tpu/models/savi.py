@@ -102,7 +102,8 @@ class SAViCell(nn.Module):
             eps=self.eps,
         )
 
-    def __call__(self, carry, feat_t, is_first, deterministic: bool = True):
+    def __call__(self, carry, feat_t, is_first, deterministic: bool = True,
+                 eps_t: Optional[jnp.ndarray] = None):
         slots, pred_state = carry
 
         pred_out, new_state = self.predictor(
@@ -119,7 +120,15 @@ class SAViCell(nn.Module):
             kernel_dist = self.kernel_dist_layer(latents)
             mu, log_var = jnp.split(kernel_dist, 2, axis=-1)
             if self.stochastic:
-                eps = jax.random.normal(self.make_rng("sample"), mu.shape, mu.dtype)
+                # eps_t: externally prescribed noise ([B, S, D]) for
+                # noise-matched training-trajectory parity tests vs the
+                # reference torch model; normal path samples from the
+                # 'sample' rng stream
+                eps = (
+                    eps_t.astype(mu.dtype) if eps_t is not None
+                    else jax.random.normal(
+                        self.make_rng("sample"), mu.shape, mu.dtype)
+                )
                 kernels = mu + eps * jnp.exp(0.5 * log_var)
             else:
                 kernels = mu
@@ -342,11 +351,14 @@ class StoSAVi(nn.Module):
         prev_slots: Optional[jnp.ndarray] = None,
         pred_state: Any = None,
         deterministic: bool = True,
+        sample_eps: Optional[jnp.ndarray] = None,
     ):
         """[B, T, H, W, 3] -> (kernel_dist, post_slots, encoder_out, carry).
 
         ``prev_slots``/``pred_state`` continue a chunked long video
-        (reference slot carry-over, savi.py:444-463).
+        (reference slot carry-over, savi.py:444-463). ``sample_eps``
+        ([B, T, S, D]) prescribes the kernel-sampling noise — used only by
+        noise-matched trajectory parity tests.
         """
         B, T = img.shape[:2]
         feats = self._get_encoder_out(img.reshape((B * T,) + img.shape[2:]))
@@ -361,18 +373,27 @@ class StoSAVi(nn.Module):
         if pred_state is None:
             pred_state = self.init_pred_state(B)
 
-        def step(cell, carry, feat_t, first_t):
-            return cell(carry, feat_t, first_t, deterministic=deterministic)
+        if sample_eps is None:
+            def step(cell, carry, feat_t, first_t):
+                return cell(carry, feat_t, first_t, deterministic=deterministic)
+
+            extra_in, extra_args = (), ()
+        else:
+            def step(cell, carry, feat_t, first_t, eps_t):
+                return cell(carry, feat_t, first_t,
+                            deterministic=deterministic, eps_t=eps_t)
+
+            extra_in, extra_args = (1,), (sample_eps,)
 
         scan = nn.scan(
             step,
             variable_broadcast="params",
             split_rngs={"params": False, "sample": True, "dropout": True},
-            in_axes=(1, 0),
+            in_axes=(1, 0) + extra_in,
             out_axes=1,
         )
         carry, (kernel_dist, post_slots, masks) = scan(
-            self.cell, (slots0, pred_state), feats, is_first
+            self.cell, (slots0, pred_state), feats, is_first, *extra_args
         )
         # masks [B, T, S, H'*W'] are meaningful iff with_mask (STEVE)
         return kernel_dist, post_slots, masks, feats, carry
@@ -387,7 +408,8 @@ class StoSAVi(nn.Module):
         img = batch["img"]  # [B, T, H, W, 3]
         B, T = img.shape[:2]
         kernel_dist, post_slots, _, _, _ = self.encode(
-            img, deterministic=deterministic
+            img, deterministic=deterministic,
+            sample_eps=batch.get("sample_eps"),  # parity-test noise hook
         )
         out = {"post_slots": post_slots, "kernel_dist": kernel_dist, "img": img}
         if testing:

@@ -498,12 +498,68 @@ def main() -> None:
          "mc_logits": out["mc_answer_logits"].numpy()},
     )
 
+    # ---- g_savitraj: 20-step noise-matched Adam TRAINING trajectory of the
+    # stochastic StoSAVi recipe (kld_method='var-0.01', reference loss
+    # weights kld_loss_w=1e-4 — stosavi_clevrer_params.py:17,79). Pins the
+    # KLD weighting and sampling scale over actual optimization, not just a
+    # single forward. The MLP predictor is used because it is dropout-free
+    # (noise matching across frameworks would otherwise need matched
+    # dropout masks); the kernel-sampling eps is prescribed per (step, t).
+    torch.manual_seed(16)
+    traj = savi_mod.StoSAVi(
+        resolution=(64, 64),  # reference hardcodes 64x64 visual resolution
+        clip_len=3,
+        slot_dict=dict(num_slots=3, slot_size=16, slot_mlp_size=32,
+                       num_iterations=2, kernel_mlp=True),
+        enc_dict=dict(enc_channels=(3, 8), enc_ks=3, enc_norm="",
+                      enc_out_channels=16),
+        dec_dict=dict(dec_channels=(16, 8, 8), dec_resolution=(16, 16),
+                      dec_ks=3, dec_norm=""),
+        pred_dict=dict(pred_type="mlp", pred_rnn=False, pred_norm_first=True,
+                       pred_num_layers=1, pred_num_heads=4, pred_ffn_dim=32,
+                       pred_sg_every=None),
+        loss_dict=dict(use_post_recon_loss=True, kld_method="var-0.01"),
+    ).train()
+    sd0 = _sd_np(traj)
+    N_STEPS, TB, TT, TS, TD = 20, 2, 3, 3, 16
+    img = rng.uniform(-1, 1, size=(TB, TT, 3, 64, 64)).astype(np.float32)
+    eps_all = rng.randn(N_STEPS, TT, TB, TS, TD).astype(np.float32)
+    qi = {"i": 0}
+
+    def fixed_sample(dist):
+        mu, log_var = dist[..., :TD], dist[..., TD:]
+        s_i, t_i = divmod(qi["i"], TT)
+        qi["i"] += 1
+        e = torch.from_numpy(eps_all[s_i, t_i])
+        return mu + e * torch.exp(log_var * 0.5)
+
+    traj._sample_dist = fixed_sample  # instance attr shadows the method
+    opt = torch.optim.Adam(traj.parameters(), lr=3e-4)
+    kld_w = 1e-4
+    timg = torch.from_numpy(img)
+    kld_losses, recon_losses = [], []
+    for _ in range(N_STEPS):
+        out = traj({"img": timg})
+        loss_dict = traj.calc_train_loss({"img": timg}, out)
+        loss = loss_dict["post_recon_loss"] + kld_w * loss_dict["kld_loss"]
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        kld_losses.append(float(loss_dict["kld_loss"]))
+        recon_losses.append(float(loss_dict["post_recon_loss"]))
+    assert qi["i"] == N_STEPS * TT
+    _pack(
+        store, "g_savitraj", sd0, {"img": img, "eps": eps_all},
+        {"kld": np.array(kld_losses, np.float32),
+         "recon": np.array(recon_losses, np.float32)},
+    )
+
     out_path = os.path.join(HERE, "model_goldens.npz")
     np.savez_compressed(out_path, **store)
     print(f"wrote {out_path}: {len(store)} arrays")
     for tag in ("g_sa", "g_tp", "g_mlp", "g_kd", "g_roll", "g_ssroll", "g_steve",
                 "g_dvae", "g_savi", "g_stevefull", "g_stevesf", "g_physro",
-                "g_phyrero", "g_aloe"):
+                "g_phyrero", "g_aloe", "g_savitraj"):
         n = sum(1 for k in store if k.startswith(tag + "/"))
         print(f"  {tag}: {n} arrays")
 

