@@ -16,17 +16,19 @@ Measurement notes (v5e, tunneled):
     platform and each host call pays ~60 ms relay RTT, so per-call timing
     under-reports device throughput ~2x.
   * f32 storage is intentional: XLA already executes f32 convs with bf16 MXU
-    passes (measured 165 TFLOP/s on the decode stack = 84% of bf16 peak);
-    explicit bf16 storage hits a slow conv-transpose layout path
-    (65 TFLOP/s measured).
+    passes (measured 115 TFLOP/s on the decode-only program = 58% of bf16
+    peak, XLA-counted flops corrected for scan-body-once counting);
+    explicit bf16 storage hits a slow conv-transpose layout path and is
+    ~2.5x slower (round-2 measurement).
   * B=16 fills HBM-friendly decode tiles; B=32 OOMs at K>=8 because decode
     materializes B*T*N broadcast maps.
 
 Baseline: the reference publishes no throughput number, so ``vs_baseline``
-divides by an analytical RTX6000 estimate: decode dominates at
-~2 GFLOP/slot-frame x 7 slots = 14 GFLOP/frame; an RTX6000 at ~10 TFLOP/s
-sustained fp16 gives ~700 frames/s. BASELINE.md's north star is >=3x that
-per chip (vs_baseline >= 3.0).
+divides by an analytical RTX6000 estimate (~700 frames/s, derived in
+BASELINE.md from decode-dominated FLOPs at ~10 TFLOP/s sustained fp16) and
+is flagged ``baseline_is_estimate``. The mfu_* fields are the measured,
+hardware-anchored evidence: XLA-counted program FLOPs / wall-clock /
+v5e bf16 peak (197 TFLOP/s).
 """
 
 from __future__ import annotations
@@ -49,23 +51,38 @@ HISTORY, ROLLOUT = 6, 48
 PEAK_BF16_FLOPS = 197e12
 
 
+def _stage(msg: str) -> None:
+    """Progress marker on stderr (stdout carries only the JSON line)."""
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def _timed_scalar(fn, *args, iters=3):
     """Time a jitted fn that returns a scalar (fetch = device sync; see
     module docstring re: block_until_ready on the tunneled platform)."""
+    _stage("compile+warmup ...")
     v = float(fn(*args))  # warmup / compile
     t0 = time.perf_counter()
     for _ in range(iters):
         v = float(fn(*args))
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(v)
+    _stage(f"timed {dt:.3f}s/call")
     return dt
 
 
 def _program_flops(jitted_fn, *args):
-    """Total FLOPs of the compiled program, from XLA's own cost analysis
+    """FLOPs of the compiled program from XLA's own cost analysis
     (compiled.cost_analysis()['flops']); None when the backend doesn't
     report them. This is the MEASURED basis for the mfu_* fields — no
-    analytical estimate is involved."""
+    analytical estimate is involved.
+
+    CAVEAT (measured on this backend): XLA counts a while-loop (lax.scan)
+    body ONCE, not x trip-count. Callers therefore lower a program with the
+    OUTER iteration scan removed and multiply by the iteration count
+    themselves. Scans *inside* the models (the 48-step rollout window, the
+    T=6 SAVi temporal cell) are still body-once — for these workloads that
+    under-counts total FLOPs by <=~5% (conv/decode flops dominate and sit
+    outside those scans), so the reported MFU is slightly conservative."""
     try:
         ca = jitted_fn.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -110,35 +127,48 @@ def bench_train(emit=True):
         opt_state = jax.device_put(tx.init(params))
         dbatch = jax.device_put(batch)
 
+        def one(carry, i):
+            p, o = carry
+
+            def loss_fn(pp):
+                if frozen:
+                    pp = {
+                        k: jax.lax.stop_gradient(v)
+                        if k in frozen else v for k, v in pp.items()
+                    }
+                losses = model.apply(
+                    {"params": pp}, dbatch, method="train_loss",
+                    rngs={
+                        n: jax.random.fold_in(jax.random.PRNGKey(7 + j), i)
+                        for j, n in enumerate(rng_names)
+                    },
+                )
+                return sum(jnp.asarray(v) for v in losses.values())
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            upd, o = tx.update(grads, o, p)
+            return (optax.apply_updates(p, upd), o), loss
+
         @jax.jit
         def k_steps(p, o):
-            def one(carry, i):
-                p, o = carry
-
-                def loss_fn(pp):
-                    if frozen:
-                        pp = {
-                            k: jax.lax.stop_gradient(v)
-                            if k in frozen else v for k, v in pp.items()
-                        }
-                    losses = model.apply(
-                        {"params": pp}, dbatch, method="train_loss",
-                        rngs={
-                            n: jax.random.fold_in(jax.random.PRNGKey(7 + j), i)
-                            for j, n in enumerate(rng_names)
-                        },
-                    )
-                    return sum(jnp.asarray(v) for v in losses.values())
-
-                loss, grads = jax.value_and_grad(loss_fn)(p)
-                upd, o = tx.update(grads, o, p)
-                return (optax.apply_updates(p, upd), o), loss
-
             (p, o), losses = jax.lax.scan(one, (p, o), jnp.arange(KT))
             return losses[-1]
 
+        # flop counting: one optimizer step WITHOUT the outer scan (XLA
+        # counts scan bodies once — see _program_flops), scaled by KT.
+        # Return the updated (params, opt_state) too: returning only the
+        # loss lets XLA dead-code-eliminate the whole backward pass and the
+        # count collapses to forward-only (measured 3x undercount). Never
+        # executed — AOT-lowered for cost analysis only.
+        @jax.jit
+        def one_step(p, o):
+            (p, o), loss = one((p, o), jnp.zeros((), jnp.int32))
+            return p, o, loss
+
         dt = _timed_scalar(k_steps, params, opt_state)
-        return dt, _program_flops(k_steps, params, opt_state)
+        _stage("train flop-count (scan-free program) ...")
+        flops1 = _program_flops(one_step, params, opt_state)
+        return dt, None if flops1 is None else flops1 * KT
 
     results = {}
 
@@ -218,19 +248,27 @@ def main() -> None:
     slots = np.random.RandomState(0).randn(K, B, HISTORY, 7, 128).astype(np.float32)
     slots = jax.device_put(slots)
 
+    def one(p, carry, sb):
+        out = model.apply(
+            {"params": p}, sb, ROLLOUT, True, False, method="rollout"
+        )
+        return carry + out["recon_combined"].mean() + out["slots"].mean(), None
+
     @jax.jit
     def rollout_decode_k(p, s):
-        def one(carry, sb):
-            out = model.apply(
-                {"params": p}, sb, ROLLOUT, True, False, method="rollout"
-            )
-            return carry + out["recon_combined"].mean() + out["slots"].mean(), None
-
-        acc, _ = jax.lax.scan(one, jnp.zeros(()), s)
+        acc, _ = jax.lax.scan(lambda c, sb: one(p, c, sb), jnp.zeros(()), s)
         return acc
 
+    # flop counting: one batch WITHOUT the outer K-scan, scaled by K
+    # (XLA counts scan bodies once — see _program_flops)
+    @jax.jit
+    def rollout_decode_1(p, sb):
+        return one(p, jnp.zeros(()), sb)[0]
+
     dt = _timed_scalar(rollout_decode_k, params, slots)
-    flops = _program_flops(rollout_decode_k, params, slots)
+    _stage("rollout flop-count (scan-free program) ...")
+    flops1 = _program_flops(rollout_decode_1, params, slots[0])
+    flops = None if flops1 is None else flops1 * K
 
     fps = K * B * ROLLOUT / dt
     line = {

@@ -22,6 +22,19 @@ VARIANTS = {
                        num_videos_train=2000, num_slots=5),
     # current stochastic config, just 10x data
     "sto_2k": dict(num_videos_train=2000),
+    # ---- round-3 (VERDICT missing #4): give the reference's STOCHASTIC
+    # recipe (kld_method='var-0.01', kld_loss_w=1e-4,
+    # stosavi_clevrer_params.py:21-28,79) a real budget — run these with a
+    # 3-4x epoch budget (e.g. `--one sto_lr4e-4 24`). The 20-step
+    # noise-matched trajectory parity test (test_golden_parity.py) already
+    # pins the KLD/sampling math to the reference; this measures whether
+    # the recipe *converges* here given steps.
+    # stochastic at the LR that works for deterministic on this data
+    "sto_lr4e-4": dict(kld_method="var-0.01", kld_loss_w=1e-4, lr=4e-4,
+                       num_videos_train=2000),
+    # the reference's exact LR
+    "sto_ref_lr1e-4": dict(kld_method="var-0.01", kld_loss_w=1e-4, lr=1e-4,
+                           num_videos_train=2000),
 }
 
 
