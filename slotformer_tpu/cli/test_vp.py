@@ -108,9 +108,13 @@ def main(argv=None) -> None:
     # dataset-level constant: mask ids are bounded by the dataset's object
     # cap (background id 0 + max_n_objects). A per-batch max() here would
     # recompile the jitted one-hot/einsum metric tables on every batch whose
-    # max id differs (the reference has no jit so never cared).
+    # max id differs (the reference has no jit so never cared). Prefer the
+    # dataset's own cap (synthetic datasets carry max_n_objects; the slots-1
+    # fallback under-counts when the renderer draws num_slots objects).
     max_mask_ids = 1 + int(
-        params.get("max_n_objects", params.get("num_objects", num_slots - 1)))
+        getattr(val_set, "max_n_objects",
+                params.get("max_n_objects",
+                           params.get("num_objects", num_slots - 1))))
     num_classes = max(num_slots, max_mask_ids)
 
     @jax.jit

@@ -26,6 +26,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# LayerNorm with two-pass variance. flax's default (use_fast_variance=True,
+# one-pass E[x^2]-E[x]^2 stats) compiles to a pathological fusion on TPU when
+# the producer is a conv stack: the SAVi FrameEncoder forward measured 207 ms
+# vs 31 ms on v5e (B*T=384, 64x64) with nothing changed but this flag
+# (round-3 probe; docs/benchmark.md). Two-pass stats are also the numerically
+# safer variance. Every model LayerNorm goes through this alias; parameter
+# names/shapes are identical to nn.LayerNorm, so checkpoints are unaffected.
+def LayerNorm(*args, **kwargs) -> nn.LayerNorm:
+    kwargs.setdefault("use_fast_variance", False)
+    return nn.LayerNorm(*args, **kwargs)
+
+
 def _act(name: str) -> Callable:
     if not name:
         return lambda x: x
@@ -117,7 +129,7 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.norm_first:
-            x = nn.LayerNorm()(x)
+            x = LayerNorm()(x)
         a = _act(self.act)
         for i, f in enumerate(self.features):
             x = nn.Dense(f)(x)
@@ -252,8 +264,8 @@ class TransformerEncoderLayer(nn.Module):
             h = nn.Dense(self.d_model, name="linear2")(h)
             return nn.Dropout(self.dropout, deterministic=deterministic)(h)
 
-        ln1 = nn.LayerNorm(name="norm1")
-        ln2 = nn.LayerNorm(name="norm2")
+        ln1 = LayerNorm(name="norm1")
+        ln2 = LayerNorm(name="norm2")
         if self.norm_first:
             x = x + mha(ln1(x))
             x = x + ffn(ln2(x))
@@ -291,7 +303,7 @@ class TransformerEncoder(nn.Module):
                 name=f"layer_{i}",
             )(x, key_padding_mask=key_padding_mask, deterministic=deterministic)
         if self.final_norm:
-            x = nn.LayerNorm(name="final_norm")(x)
+            x = LayerNorm(name="final_norm")(x)
         return x
 
 

@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .nn import MLP, TransformerEncoder
+from .nn import MLP, LayerNorm, TransformerEncoder
 
 PredictorState = Any
 
@@ -72,7 +72,7 @@ class ResidualMLPPredictor(nn.Module):
         self, x: jnp.ndarray, state: PredictorState = (), deterministic: bool = True
     ) -> Tuple[jnp.ndarray, PredictorState]:
         res = x
-        x = nn.LayerNorm(name="ln")(x)
+        x = LayerNorm(name="ln")(x)
         if self.norm_first:
             res = x
         out = MLP(self.channels[1:], name="mlp")(x)

@@ -36,7 +36,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .nn import ConvNormAct, DeconvNormAct, SoftPositionEmbed
+from .nn import ConvNormAct, DeconvNormAct, LayerNorm, SoftPositionEmbed
 from .predictor import build_predictor
 from .slot_attention import SlotAttention, SlotAttentionWMask
 
@@ -55,7 +55,7 @@ class KernelDistLayer(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.kernel_mlp:
             x = nn.Dense(self.slot_size * 2)(x)
-            x = nn.LayerNorm()(x)
+            x = LayerNorm()(x)
             x = nn.relu(x)
             x = nn.Dense(self.slot_size * 2)(x)
         else:
@@ -184,7 +184,7 @@ class FrameEncoder(nn.Module):
         self.pos_embedding = SoftPositionEmbed(
             self.visual_channels, self.visual_resolution
         )
-        self.out_ln = nn.LayerNorm()
+        self.out_ln = LayerNorm()
         self.out_0 = nn.Dense(self.enc_out_channels)
         self.out_1 = nn.Dense(self.enc_out_channels)
 

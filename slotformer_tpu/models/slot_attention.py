@@ -34,6 +34,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .nn import LayerNorm
+
 
 class SlotAttentionBase(nn.Module):
     in_features: int
@@ -47,13 +49,13 @@ class SlotAttentionBase(nn.Module):
     use_pallas: bool = False
 
     def setup(self):
-        self.norm_inputs = nn.LayerNorm()
-        self.project_q_norm = nn.LayerNorm()
+        self.norm_inputs = LayerNorm()
+        self.project_q_norm = LayerNorm()
         self.project_q = nn.Dense(self.slot_size, use_bias=False)
         self.project_k = nn.Dense(self.slot_size, use_bias=False)
         self.project_v = nn.Dense(self.slot_size, use_bias=False)
         self.gru = nn.GRUCell(features=self.slot_size)
-        self.mlp_norm = nn.LayerNorm()
+        self.mlp_norm = LayerNorm()
         self.mlp_hidden = nn.Dense(self.mlp_hidden_size)
         self.mlp_out = nn.Dense(self.slot_size)
 

@@ -24,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .nn import LayerNorm
+
 
 def _xavier(gain: float = 1.0):
     return nn.initializers.variance_scaling(gain**2, "fan_avg", "uniform")
@@ -139,15 +141,15 @@ class TransformerDecoderBlock(nn.Module):
     is_first: bool = False
 
     def setup(self):
-        self.self_attn_ln = nn.LayerNorm()
+        self.self_attn_ln = LayerNorm()
         self.self_attn = STEVEMultiHeadAttention(
             self.d_model, self.num_heads, self.dropout, self.gain
         )
-        self.cross_ln = nn.LayerNorm()
+        self.cross_ln = LayerNorm()
         self.cross_attn = STEVEMultiHeadAttention(
             self.d_model, self.num_heads, self.dropout, self.gain
         )
-        self.ffn_ln = nn.LayerNorm()
+        self.ffn_ln = LayerNorm()
         self.ffn = FFN(self.d_model, self.dropout, self.gain)
 
     def __call__(self, x, enc_out, deterministic: bool = True):
@@ -226,7 +228,7 @@ class STEVETransformerDecoder(nn.Module):
             )
             for i in range(self.num_layers)
         ]
-        self.final_ln = nn.LayerNorm()
+        self.final_ln = LayerNorm()
         self.head = nn.Dense(self.vocab_size, use_bias=False, kernel_init=_xavier())
 
     def __call__(self, slots, idx, deterministic: bool = True):
