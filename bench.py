@@ -116,7 +116,12 @@ def bench_train(emit=True):
 
     KT = 4  # optimizer steps fused per timed call
 
-    def time_train(model, batch, rng_names=("sample", "dropout"), frozen=()):
+    def time_train(model, batch, rng_names=("sample", "dropout"), frozen=(),
+                   flops_model=None):
+        """``flops_model``: structurally identical twin whose train_loss has
+        no inner lax.scan (e.g. dec_chunk_frames=0) — XLA counts a scan body
+        once, so counting on the chunked model would undercount the decoder
+        (the dominant FLOP source) by the chunk count."""
         variables = model.init(
             {n: jax.random.PRNGKey(i) for i, n in
              enumerate(("params",) + rng_names)},
@@ -127,27 +132,31 @@ def bench_train(emit=True):
         opt_state = jax.device_put(tx.init(params))
         dbatch = jax.device_put(batch)
 
-        def one(carry, i):
-            p, o = carry
+        def mk_one(m):
+            def one(carry, i):
+                p, o = carry
 
-            def loss_fn(pp):
-                if frozen:
-                    pp = {
-                        k: jax.lax.stop_gradient(v)
-                        if k in frozen else v for k, v in pp.items()
-                    }
-                losses = model.apply(
-                    {"params": pp}, dbatch, method="train_loss",
-                    rngs={
-                        n: jax.random.fold_in(jax.random.PRNGKey(7 + j), i)
-                        for j, n in enumerate(rng_names)
-                    },
-                )
-                return sum(jnp.asarray(v) for v in losses.values())
+                def loss_fn(pp):
+                    if frozen:
+                        pp = {
+                            k: jax.lax.stop_gradient(v)
+                            if k in frozen else v for k, v in pp.items()
+                        }
+                    losses = m.apply(
+                        {"params": pp}, dbatch, method="train_loss",
+                        rngs={
+                            n: jax.random.fold_in(jax.random.PRNGKey(7 + j), i)
+                            for j, n in enumerate(rng_names)
+                        },
+                    )
+                    return sum(jnp.asarray(v) for v in losses.values())
 
-            loss, grads = jax.value_and_grad(loss_fn)(p)
-            upd, o = tx.update(grads, o, p)
-            return (optax.apply_updates(p, upd), o), loss
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                upd, o = tx.update(grads, o, p)
+                return (optax.apply_updates(p, upd), o), loss
+            return one
+
+        one = mk_one(model)
 
         @jax.jit
         def k_steps(p, o):
@@ -160,9 +169,11 @@ def bench_train(emit=True):
         # loss lets XLA dead-code-eliminate the whole backward pass and the
         # count collapses to forward-only (measured 3x undercount). Never
         # executed — AOT-lowered for cost analysis only.
+        one_count = mk_one(flops_model) if flops_model is not None else one
+
         @jax.jit
         def one_step(p, o):
-            (p, o), loss = one((p, o), jnp.zeros((), jnp.int32))
+            (p, o), loss = one_count((p, o), jnp.zeros((), jnp.int32))
             return p, o, loss
 
         dt = _timed_scalar(k_steps, params, opt_state)
@@ -206,6 +217,8 @@ def bench_train(emit=True):
         },
         rng_names=("dropout",),
         frozen=("decoder",),
+        # scan-free twin for flop counting (chunked decode is a lax.scan)
+        flops_model=_flagship_model(dec_chunk_frames=0),
     )
     results["slotformer_train_frames_per_sec_per_chip"] = (bs * t * KT / dt,
                                                            _mfu(flops, dt))

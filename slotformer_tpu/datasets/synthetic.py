@@ -61,6 +61,7 @@ class SyntheticVideoDataset(Dataset):
         num_objects: int = 4,
         load_mask: bool = False,
         obj_size_range=(0.08, 0.16),
+        wire_uint8: bool = False,
     ):
         self.split = split
         self.num_videos = num_videos
@@ -71,6 +72,11 @@ class SyntheticVideoDataset(Dataset):
         self.num_objects = num_objects
         self.load_mask = load_mask
         self.obj_size_range = tuple(obj_size_range)
+        # emit img as uint8 for the host->device wire; the trainer decodes
+        # to [-1, 1] f32 on device (runtime.method._decode_wire). 4x smaller
+        # transfers at the cost of 8-bit quantization (what mp4-backed
+        # datasets have anyway).
+        self.wire_uint8 = wire_uint8
         self._seed_base = {"train": 0, "val": 10_000_000, "test": 20_000_000}[split]
         self._cache = {}
         # clip index: one clip per (video, start)
@@ -114,7 +120,12 @@ class SyntheticVideoDataset(Dataset):
         video_idx, start = self.valid_idx[idx]
         video, masks = self._video(video_idx)
         sel = [start + n * self.frame_offset for n in range(self.n_sample_frames)]
-        out = {"data_idx": idx, "img": video[sel].copy(), "error_flag": False}
+        img = video[sel]
+        if self.wire_uint8:
+            img = np.clip((img + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
+        else:
+            img = img.copy()
+        out = {"data_idx": idx, "img": img, "error_flag": False}
         if self.load_mask:
             out["mask"] = masks[sel].copy()
         return out
@@ -193,6 +204,7 @@ def build_synthetic_dataset(params, val_only=False):
         load_mask=params.get("load_mask", False),
         num_objects=params.get("num_objects", 4),
         obj_size_range=params.get("obj_size_range", (0.08, 0.16)),
+        wire_uint8=params.get("wire_uint8", False),
     )
     val_dataset = SyntheticVideoDataset(**args)
     if val_only:

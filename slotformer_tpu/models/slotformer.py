@@ -36,6 +36,17 @@ from .nn import PosEnc, TransformerEncoder
 from .savi import SpatialBroadcastDecoder
 
 
+def _pick_chunks(n_frames: int, max_chunk: int) -> int:
+    """Smallest chunk count that divides ``n_frames`` with chunks of at most
+    ``max_chunk`` frames (1 = no chunking)."""
+    if max_chunk <= 0 or n_frames <= max_chunk:
+        return 1
+    for nc in range(-(-n_frames // max_chunk), n_frames + 1):
+        if n_frames % nc == 0:
+            return nc
+    return 1
+
+
 class SlotRollouter(nn.Module):
     """Sliding-window autoregressive rollout (reference slotformer.py:48-134)."""
 
@@ -219,6 +230,15 @@ class SlotFormer(nn.Module):
         ld = self.loss_dict or {}
         self.rollout_len = ld.get("rollout_len", 6)
         self.use_img_recon_loss = ld.get("use_img_recon_loss", False)
+        # img-recon training decodes B*rollout_len frames through the FROZEN
+        # decoder; computing that loss in scanned chunks of <= this many
+        # frames keeps only one chunk's activations live in the backward —
+        # measured 1.79x faster than whole-batch decode at the CLEVRER train
+        # shape (640 frames, v5e: 239.5 -> 133.6 ms fwd+dx). Only worthwhile
+        # with a frozen decoder: accumulating weight grads across chunks
+        # makes chunking a net loss (measured +10% on the SAVi train step).
+        # 0 disables.
+        self.dec_chunk_frames = int(ld.get("dec_chunk_frames", 160))
 
     def _make_rollouter(self, rd: dict) -> nn.Module:
         return SlotRollouter(name="rollouter", **rd)
@@ -340,11 +360,80 @@ class SlotFormer(nn.Module):
                 loss_dict["img_recon_loss"] = img_err.mean()
         return loss_dict
 
+    def _chunked_img_recon_loss(
+        self, batch: dict, pred_slots: jnp.ndarray, nc: int
+    ) -> jnp.ndarray:
+        """Image-recon MSE through the frozen decoder, decoded ``nc`` chunks
+        at a time under ``nn.scan`` (see dec_chunk_frames). Matches the
+        unchunked ``calc_train_loss`` value (incl. vid_len masking)."""
+        B, T_ro = pred_slots.shape[:2]
+        gt_img = batch["img"][:, self.history_len :]
+        H, W, C = gt_img.shape[2:]
+        F = B * T_ro
+        flat_slots = pred_slots.reshape(F, self.num_slots, self.slot_size)
+        flat_img = gt_img.reshape(F, H, W, C)
+        vid_len = batch.get("vid_len", None)
+        if vid_len is not None:
+            valid = (
+                jnp.arange(T_ro)[None] + self.history_len < vid_len[:, None]
+            )
+            w = valid.astype(flat_img.dtype).reshape(F)
+        else:
+            w = jnp.ones((F,), flat_img.dtype)
+
+        def body(dec, carry, xs):
+            s, t, ww = xs
+            recon = dec(s)[0]
+            err = ((recon - t) ** 2).sum(axis=(1, 2, 3))
+            return carry + (err * ww).sum(), None
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0,
+        )
+        sse, _ = scan(
+            self.decoder,
+            jnp.zeros((), flat_img.dtype),
+            (
+                flat_slots.reshape(nc, F // nc, self.num_slots, self.slot_size),
+                flat_img.reshape(nc, F // nc, H, W, C),
+                w.reshape(nc, F // nc),
+            ),
+        )
+        if vid_len is not None:
+            return sse / (w.sum() * H * W * C + self.eps)
+        return sse / (F * H * W * C)
+
     def train_loss(self, batch: dict, loss_decay_factor: float = 1.0) -> dict:
-        out = self(batch, deterministic=False)
-        return self.calc_train_loss(
+        nc = 1
+        if self.use_img_recon_loss:
+            nc = _pick_chunks(
+                batch["slots"].shape[0] * self.rollout_len, self.dec_chunk_frames
+            )
+        if nc == 1:
+            out = self(batch, deterministic=False)
+            return self.calc_train_loss(
+                batch, out, loss_decay_factor=loss_decay_factor, training=True
+            )
+        # chunked img-recon path: rollout WITHOUT decoding, slot loss from
+        # calc_train_loss, img loss decoded chunk-by-chunk
+        slots = batch["slots"]
+        past_slots = slots[:, : self.history_len]
+        gt_slots = slots[:, self.history_len :]
+        pred_slots = self.rollouter(
+            past_slots[:, -self.history_len :], self.rollout_len,
+            deterministic=False,
+        )
+        out = {"gt_slots": gt_slots, "pred_slots": pred_slots}
+        loss_dict = self.calc_train_loss(
             batch, out, loss_decay_factor=loss_decay_factor, training=True
         )
+        loss_dict["img_recon_loss"] = self._chunked_img_recon_loss(
+            batch, pred_slots, nc
+        )
+        return loss_dict
 
     def eval_loss(self, batch: dict) -> dict:
         out = self(batch, deterministic=True)

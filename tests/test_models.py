@@ -225,6 +225,44 @@ def test_slotformer_rollout_shapes_and_loss():
     assert set(losses) == {"slot_recon_loss", "img_recon_loss"}
 
 
+def test_slotformer_chunked_img_recon_matches_unchunked():
+    """dec_chunk_frames chunked decode-loss path == whole-batch path, with
+    and without vid_len masking (dropout 0 so both paths are rng-free)."""
+    from slotformer_tpu.models.slotformer import _pick_chunks
+
+    def build(chunk_frames):
+        return SlotFormer(
+            resolution=(16, 16),
+            slot_dict=dict(num_slots=4, slot_size=16),
+            dec_dict=dict(dec_channels=(16, 8), dec_resolution=(16, 16),
+                          dec_ks=3),
+            rollout_dict=dict(num_slots=4, slot_size=16, history_len=3,
+                              t_pe="sin", d_model=16, num_layers=1,
+                              num_heads=2, ffn_dim=32, dropout=0.0),
+            loss_dict=dict(rollout_len=4, use_img_recon_loss=True,
+                           dec_chunk_frames=chunk_frames),
+        )
+
+    base = build(0)  # chunking disabled
+    chunked = build(2)  # 2 frames/chunk over B*T_ro = 8 frames
+    assert _pick_chunks(8, 2) == 4
+    batch = {
+        "slots": jax.random.normal(RNG, (2, 7, 4, 16)),
+        "img": jax.random.normal(jax.random.PRNGKey(3), (2, 7, 16, 16, 3)),
+    }
+    variables = base.init(RNG, batch)
+    kw = dict(method="train_loss", rngs={"dropout": jax.random.PRNGKey(5)})
+    for extra in ({}, {"vid_len": jnp.array([5, 7])}):
+        b = dict(batch, **extra)
+        l_ref = base.apply(variables, b, **kw)
+        l_chk = chunked.apply(variables, b, **kw)
+        assert set(l_ref) == set(l_chk)
+        for k in l_ref:
+            np.testing.assert_allclose(
+                np.asarray(l_ref[k]), np.asarray(l_chk[k]), rtol=2e-5,
+                err_msg=f"{k} {sorted(extra)}")
+
+
 def test_slotformer_autoregressive_dependency():
     """Prediction t depends on predictions < t (window slides)."""
     model = tiny_slotformer(use_img=False, history=3, rollout=1)

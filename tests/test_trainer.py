@@ -370,3 +370,65 @@ def test_mid_epoch_resume_exact_step_count(tmp_path):
     m2.setup_state()
     m2.fit(resume_from=str(tmp_path / "ckp" / mid), san_check_val_step=0)
     assert m2.it == total, (m2.it, total)
+
+
+def test_uint8_wire_batch_matches_f32(tmp_path):
+    """A uint8 'img' batch (wire_uint8 datasets) is decoded to [-1, 1] f32
+    ON DEVICE inside the jitted train/eval steps, with the exact
+    BaseTransforms formula — losses match the host-f32 path up to 8-bit
+    quantization of the inputs."""
+    import jax.numpy as jnp
+
+    params = SAViParams()
+    dm = BaseDataModule(params, _SyntheticVideo(32), _SyntheticVideo(8, seed=1))
+    model = build_model(params)
+    method = build_method(model=model, datamodule=dm, params=params,
+                          ckp_path=str(tmp_path / "ckp"))
+    method.setup_state()
+    step_fn = method._make_train_step()
+    eval_fn = method._make_eval_step()
+
+    batch_f32 = dm.train_loader.collate_fn([dm.train_set[i] for i in range(8)])
+    img = batch_f32["img"]
+    img_u8 = np.clip((img + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
+    batch_u8 = dict(batch_f32, img=img_u8)
+    # round-trip the quantized image through the same decode formula so the
+    # f32 reference sees identical pixel values (isolates the wire path)
+    batch_f32q = dict(batch_f32,
+                      img=((img_u8.astype(np.float32) / 255.0 - 0.5) / 0.5))
+
+    put = method._put_batch
+    state0 = method.state
+
+    def fresh():  # train_step donates its state arg — copy per call
+        import jax
+
+        return jax.tree.map(jnp.array, dict(state0))
+
+    _, losses_q = step_fn(fresh(), put(batch_f32q), jnp.zeros((), jnp.int32))
+    _, losses_u = step_fn(fresh(), put(batch_u8), jnp.zeros((), jnp.int32))
+    for k in losses_q:
+        np.testing.assert_allclose(
+            np.asarray(losses_q[k]), np.asarray(losses_u[k]), rtol=2e-5,
+            err_msg=k)
+    ev_q = eval_fn(fresh(), put(batch_f32q))
+    ev_u = eval_fn(fresh(), put(batch_u8))
+    for k in ev_q:
+        np.testing.assert_allclose(
+            np.asarray(ev_q[k]), np.asarray(ev_u[k]), rtol=2e-5, err_msg=k)
+
+
+def test_synthetic_wire_uint8_dataset():
+    """wire_uint8 synthetic dataset emits uint8 img that decodes to within
+    one quantization step of the f32 emission."""
+    from slotformer_tpu.datasets.synthetic import SyntheticVideoDataset
+
+    kw = dict(split="train", num_videos=2, video_len=4, resolution=(16, 16),
+              n_sample_frames=2, frame_offset=1)
+    d32 = SyntheticVideoDataset(**kw)
+    du8 = SyntheticVideoDataset(wire_uint8=True, **kw)
+    a = d32[0]["img"]
+    b = du8[0]["img"]
+    assert b.dtype == np.uint8
+    dec = (b.astype(np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(dec, a, atol=1.0 / 127.5)
