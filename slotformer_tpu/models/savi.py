@@ -103,7 +103,10 @@ class SAViCell(nn.Module):
         )
 
     def __call__(self, carry, feat_t, is_first, deterministic: bool = True,
-                 eps_t: Optional[jnp.ndarray] = None):
+                 eps_t: Optional[jnp.ndarray] = None, kv_t=None):
+        """``kv_t``: optional precomputed (k_t, v_t) — the norm+projection is
+        hoisted out of the temporal scan by encode() and fed per-frame, so
+        the scan body only runs the genuinely sequential work."""
         slots, pred_state = carry
 
         pred_out, new_state = self.predictor(
@@ -136,11 +139,13 @@ class SAViCell(nn.Module):
             kernel_dist = jnp.concatenate([latents, jnp.zeros_like(latents)], -1)
             kernels = latents
 
+        n_tok = feat_t.shape[1] if kv_t is None else kv_t[0].shape[1]
+        bsz = feat_t.shape[0] if kv_t is None else kv_t[0].shape[0]
         if self.with_mask:
-            post_slots, masks = self.slot_attention(feat_t, kernels)
+            post_slots, masks = self.slot_attention(feat_t, kernels, kv=kv_t)
         else:
-            post_slots = self.slot_attention(feat_t, kernels)
-            masks = jnp.zeros((feat_t.shape[0], self.num_slots, feat_t.shape[1]))
+            post_slots = self.slot_attention(feat_t, kernels, kv=kv_t)
+            masks = jnp.zeros((bsz, self.num_slots, n_tok))
 
         return (post_slots, pred_state), (kernel_dist, post_slots, masks)
 
@@ -362,7 +367,15 @@ class StoSAVi(nn.Module):
         """
         B, T = img.shape[:2]
         feats = self._get_encoder_out(img.reshape((B * T,) + img.shape[2:]))
+        # k/v hoist: the slot-attention input LN + k/v projections depend
+        # only on the frame features, so run them as ONE batched matmul over
+        # all B*T frames here instead of T serialized launches inside the
+        # temporal scan (identical math; the scan body keeps only the
+        # genuinely sequential work).
+        k_all, v_all = self.cell.slot_attention.project_kv(feats)
         feats = feats.reshape(B, T, feats.shape[1], feats.shape[2])
+        k_all = k_all.reshape(B, T, k_all.shape[1], k_all.shape[2])
+        v_all = v_all.reshape(B, T, v_all.shape[1], v_all.shape[2])
 
         if prev_slots is None:
             slots0 = jnp.tile(self.init_latents, (B, 1, 1))
@@ -374,14 +387,16 @@ class StoSAVi(nn.Module):
             pred_state = self.init_pred_state(B)
 
         if sample_eps is None:
-            def step(cell, carry, feat_t, first_t):
-                return cell(carry, feat_t, first_t, deterministic=deterministic)
+            def step(cell, carry, first_t, k_t, v_t):
+                return cell(carry, None, first_t,
+                            deterministic=deterministic, kv_t=(k_t, v_t))
 
             extra_in, extra_args = (), ()
         else:
-            def step(cell, carry, feat_t, first_t, eps_t):
-                return cell(carry, feat_t, first_t,
-                            deterministic=deterministic, eps_t=eps_t)
+            def step(cell, carry, first_t, k_t, v_t, eps_t):
+                return cell(carry, None, first_t,
+                            deterministic=deterministic, eps_t=eps_t,
+                            kv_t=(k_t, v_t))
 
             extra_in, extra_args = (1,), (sample_eps,)
 
@@ -389,11 +404,12 @@ class StoSAVi(nn.Module):
             step,
             variable_broadcast="params",
             split_rngs={"params": False, "sample": True, "dropout": True},
-            in_axes=(1, 0) + extra_in,
+            in_axes=(0, 1, 1) + extra_in,
             out_axes=1,
         )
         carry, (kernel_dist, post_slots, masks) = scan(
-            self.cell, (slots0, pred_state), feats, is_first, *extra_args
+            self.cell, (slots0, pred_state), is_first, k_all, v_all,
+            *extra_args
         )
         # masks [B, T, S, H'*W'] are meaningful iff with_mask (STEVE)
         return kernel_dist, post_slots, masks, feats, carry

@@ -110,11 +110,21 @@ class SlotAttentionBase(nn.Module):
             w2=p(self.mlp_out)["kernel"], b2=p(self.mlp_out)["bias"],
         )
 
-    def _run(self, inputs: jnp.ndarray, slots: jnp.ndarray):
-        assert inputs.ndim == 3 and slots.ndim == 3, (inputs.shape, slots.shape)
+    def project_kv(self, inputs: jnp.ndarray):
+        """norm_inputs + k/v projection. Exposed so temporal models can
+        hoist this out of their per-frame scan and run it as ONE batched
+        matmul over all frames (savi.py encode) — identical math, but
+        batched work instead of T serialized small launches."""
         x = self.norm_inputs(inputs)
-        k = self.project_k(x)
-        v = self.project_v(x)
+        return self.project_k(x), self.project_v(x)
+
+    def _run(self, inputs: jnp.ndarray, slots: jnp.ndarray, kv=None):
+        assert slots.ndim == 3, slots.shape
+        if kv is None:
+            assert inputs.ndim == 3, inputs.shape
+            k, v = self.project_kv(inputs)
+        else:
+            k, v = kv
         if self._fused_eligible(k):
             from ..ops import fused_slot_attention
 
@@ -133,8 +143,10 @@ class SlotAttentionBase(nn.Module):
 class SlotAttention(SlotAttentionBase):
     """Returns the refined slots only (SAVi path)."""
 
-    def __call__(self, inputs: jnp.ndarray, slots: jnp.ndarray) -> jnp.ndarray:
-        slots, _ = self._run(inputs, slots)
+    def __call__(
+        self, inputs: jnp.ndarray, slots: jnp.ndarray, kv=None
+    ) -> jnp.ndarray:
+        slots, _ = self._run(inputs, slots, kv=kv)
         return slots
 
 
@@ -145,7 +157,7 @@ class SlotAttentionWMask(SlotAttentionBase):
     attention map ([B, HW, S] -> [B, S, HW]).
     """
 
-    def __call__(self, inputs: jnp.ndarray, slots: jnp.ndarray):
-        slots, attn = self._run(inputs, slots)
+    def __call__(self, inputs: jnp.ndarray, slots: jnp.ndarray, kv=None):
+        slots, attn = self._run(inputs, slots, kv=kv)
         masks = jnp.transpose(attn, (0, 2, 1))  # [B, S, HW]
         return slots, masks

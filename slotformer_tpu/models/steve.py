@@ -117,7 +117,12 @@ class STEVE(nn.Module):
         """[B, T, H, W, 3] -> (slots [B,T,N,D], masks [B,T,N,H',W'], feats, carry)."""
         B, T = img.shape[:2]
         feats = self.encoder(img.reshape((B * T,) + img.shape[2:]))
+        # k/v hoist — see savi.py encode(): one batched LN+projection over
+        # all B*T frames instead of T serialized launches inside the scan.
+        k_all, v_all = self.cell.slot_attention.project_kv(feats)
         feats = feats.reshape(B, T, feats.shape[1], feats.shape[2])
+        k_all = k_all.reshape(B, T, k_all.shape[1], k_all.shape[2])
+        v_all = v_all.reshape(B, T, v_all.shape[1], v_all.shape[2])
 
         if prev_slots is None:
             slots0 = jnp.tile(self.init_latents, (B, 1, 1))
@@ -128,18 +133,19 @@ class STEVE(nn.Module):
         if pred_state is None:
             pred_state = self.init_pred_state(B)
 
-        def step(cell, carry, feat_t, first_t):
-            return cell(carry, feat_t, first_t, deterministic=deterministic)
+        def step(cell, carry, first_t, k_t, v_t):
+            return cell(carry, None, first_t, deterministic=deterministic,
+                        kv_t=(k_t, v_t))
 
         scan = nn.scan(
             step,
             variable_broadcast="params",
             split_rngs={"params": False, "sample": True, "dropout": True},
-            in_axes=(1, 0),
+            in_axes=(0, 1, 1),
             out_axes=1,
         )
         carry, (_, slots, masks) = scan(
-            self.cell, (slots0, pred_state), feats, is_first
+            self.cell, (slots0, pred_state), is_first, k_all, v_all
         )
         hv, wv = self.visual_resolution
         masks = masks.reshape(B, T, self.num_slots, hv, wv)
