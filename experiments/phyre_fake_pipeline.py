@@ -24,7 +24,8 @@ import types
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-OUT = os.path.join(REPO, "experiments", "out_phyre_fake")
+OUT = os.environ.get("PHYRE_OUT",
+                     os.path.join(REPO, "experiments", "out_phyre_fake"))
 
 import numpy as np
 
@@ -34,9 +35,13 @@ VID_LEN = 8  # 1 burn-in + 7 rollout
 SIM_FRAMES = 11
 N_CACHE_ACTS = 1000
 
-TRAIN_TASKS = [f"{i:05d}:000" for i in range(40)]
-DEV_TASKS = [f"{i:05d}:000" for i in range(40, 50)]
-TEST_TASKS = [f"{i:05d}:000" for i in range(50, 60)]
+# the dataset's split regeneration keeps only templates 00000..00024
+# (datasets/phyre.py:150-152, reference parity) — stay within them and vary
+# the per-template task instance, like the real "within" protocol
+TRAIN_TASKS = ([f"{i:05d}:000" for i in range(20)]
+               + [f"{i:05d}:001" for i in range(20)])
+DEV_TASKS = [f"{i:05d}:002" for i in range(10)]
+TEST_TASKS = [f"{i:05d}:003" for i in range(10)]
 
 
 def _status_of(action) -> int:

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-OUT = "experiments/out_vqa"
+OUT = os.environ.get("VQA_OUT", "experiments/out_vqa")
 SF_PARAMS = "experiments/synth64_sf_params.py"
 SF_CKPT = "experiments/out_synth64/sf/latest.ckpt.pkl"
 SLOTS_IN = "experiments/out_synth64/synth_slots.pkl"
