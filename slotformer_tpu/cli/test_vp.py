@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 import numpy as np
 
@@ -130,6 +131,15 @@ def main(argv=None) -> None:
     video_num = 10 if args.save_num <= 0 else args.save_num
     only_vis = args.save_num > 0
 
+    # eval wall-clock accounting (VERDICT r2 #6): total includes data
+    # loading + host vis; fwd = jitted rollout+decode (np.asarray = device
+    # sync); metrics = pred_eval_step (jitted batch metrics + host
+    # Hungarian/bbox matching). First batch reported separately — it pays
+    # the jit compiles.
+    t_fwd = t_metrics = t_first = 0.0
+    eval_frames = 0
+    t_start = time.perf_counter()
+
     for bi, batch in enumerate(val_loader):
         if args.max_batches > 0 and bi >= args.max_batches:
             break
@@ -142,10 +152,12 @@ def main(argv=None) -> None:
             db["pres_mask"][:, history_len:].astype(bool) if "pres_mask" in db else None
         )
 
+        t0 = time.perf_counter()
         pred, pred_mask, pred_bbox = forward(params_tree, db)
         pred = np.asarray(pred)
         pred_mask = np.asarray(pred_mask)
         pred_bbox = np.asarray(pred_bbox)
+        t1 = time.perf_counter()
 
         traj = eval_traj and gt_mask is not None
         if traj:
@@ -172,6 +184,13 @@ def main(argv=None) -> None:
         for i in range(rollout_len):
             for m in METRICS:
                 meters[m][i].update(md[m][i], B)
+        t2 = time.perf_counter()
+        if bi == 0:
+            t_first = t2 - t0
+        else:
+            t_fwd += t1 - t0
+            t_metrics += t2 - t1
+            eval_frames += B * rollout_len
 
         flag = False
         for i in range(B):
@@ -225,6 +244,21 @@ def main(argv=None) -> None:
             )
     if only_vis:
         return
+
+    t_total = time.perf_counter() - t_start
+    t_steady = t_fwd + t_metrics
+    print(
+        f"[test_vp] wall-clock: total={t_total:.1f}s "
+        f"first_batch={t_first:.1f}s (jit compiles) | steady-state "
+        f"fwd={t_fwd:.1f}s metrics={t_metrics:.1f}s over {eval_frames} "
+        f"rollout frames"
+        + (
+            f" -> {eval_frames / t_steady:.0f} f/s with metrics, "
+            f"{eval_frames / t_fwd:.0f} f/s fwd-only"
+            if t_steady > 0 and t_fwd > 0
+            else ""
+        )
+    )
 
     results = {m: np.array([mm.avg for mm in v]) for m, v in meters.items()}
     for k, v in results.items():
