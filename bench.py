@@ -306,7 +306,36 @@ def main() -> None:
     print(json.dumps(line))
 
 
+def _supervised(argv) -> int:
+    """Re-run this script as a child with a hard timeout, retrying.
+
+    The tunneled-TPU client can wedge FOREVER on a dropped relay (observed
+    round 3: jax.devices() blocked >20 min in a futex wait) — a plain run
+    would hang the driver's bench step and forfeit the round artifact. A
+    transient wedge clears in minutes, so: 3 attempts x 20 min each.
+    """
+    import subprocess
+
+    for attempt in range(3):
+        try:
+            rc = subprocess.run(
+                [sys.executable, __file__, "--inner"] + argv,
+                timeout=1200,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            _stage(f"attempt {attempt + 1} timed out (wedged tunnel?); "
+                   "retrying" if attempt < 2 else "attempt 3 timed out")
+            continue
+        if rc == 0:
+            return 0
+        _stage(f"attempt {attempt + 1} exited rc={rc}; retrying")
+        time.sleep(60)
+    return 1
+
+
 if __name__ == "__main__":
+    if "--inner" not in sys.argv:
+        sys.exit(_supervised([a for a in sys.argv[1:]]))
     if "--train" in sys.argv:
         bench_train()
     else:
