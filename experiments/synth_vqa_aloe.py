@@ -106,6 +106,38 @@ def stage_rollout():
     return path
 
 
+def stage_standardize():
+    """Per-channel standardization of the rolled-out slots (train stats).
+
+    Round-3 finding (PHYRE readout, experiments/phyre_fake_pipeline.py):
+    readout transformers over raw SAVi-family slot features can sit at
+    chance for thousands of steps when a few channels carry large static
+    offsets — Adam's per-parameter scaling makes the effective
+    function-space LR huge along the big channels and tiny along the
+    discriminative ones. Standardization is experiment-side preprocessing;
+    the CLEVRERAloe model itself stays reference-parity (no input norm,
+    reference transformer.py:164-279).
+    """
+    path = os.path.join(OUT, "rollout_slots_std.pkl")
+    if os.path.exists(path):
+        return path
+    import pickle
+
+    src = pickle.load(open(os.path.join(OUT, "rollout_slots.pkl"), "rb"))
+    tr = np.stack(list(src["train"].values()))
+    mu = tr.mean((0, 1, 2))
+    sd = tr.std((0, 1, 2)) + 1e-6
+    out = {
+        split: {k: ((v - mu) / sd).astype(np.float32)
+                for k, v in vids.items()}
+        for split, vids in src.items()
+    }
+    pickle.dump(out, open(path, "wb"))
+    np.savez(path + "_stats.npz", mu=mu, sd=sd)
+    print(f"[std] rollout slots standardized -> {path}", flush=True)
+    return path
+
+
 def stage_questions(counts):
     """2 descriptive + 1 three-choice MC question per video + vocab."""
     qdir = os.path.join(OUT, "questions")
@@ -169,7 +201,7 @@ def stage_train(max_epochs):
         model = "CLEVRERAloe"
         dataset = "clevrer_vqa"
         data_root = OUT
-        slots_root = os.path.join(OUT, "rollout_slots.pkl")
+        slots_root = os.path.join(OUT, "rollout_slots_std.pkl")
         vocab_file = os.path.join(OUT, "vocab.json")
         video_len = 20
         n_sample_frames = N_FRAMES
@@ -222,5 +254,6 @@ if __name__ == "__main__":
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     counts = stage_counts()
     stage_rollout()
+    stage_standardize()
     stage_questions(counts)
     stage_train(epochs)
