@@ -23,6 +23,23 @@ import os
 import sys
 
 
+def _auto_watchdog() -> bool:
+    """Arm the host-RSS watchdog by default on the tunneled-TPU (axon)
+    client, whose IFRT proxy leaks host memory per transfer (CLAUDE.md).
+
+    The axon PJRT client reports its *platform* as "tpu" — "axon" is only
+    the JAX registry/plugin name, so ``jax.default_backend()`` can never
+    identify it (round-3 review finding: that gate silently never fired and
+    a no-limit sweep run OOM-died at step 2800,
+    experiments/logs/savi_sweep_r3_sto_lr4e-4.log). Detect the client by
+    its registration env instead; other platforms opt in via
+    SLOTFORMER_RSS_WATCHDOG=1 or params.max_rss_gb.
+    """
+    return ("axon" in os.environ.get("JAX_PLATFORMS", "")
+            or bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+            or bool(os.environ.get("SLOTFORMER_RSS_WATCHDOG")))
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="train a slotformer_tpu model")
     parser.add_argument("--params", required=True, help="path to the config .py")
@@ -52,19 +69,12 @@ def main(argv=None) -> None:
         params = load_params(args.params)
         seed = args.seed + k
         params.seed = seed
-        if not params.has("max_rss_gb"):
-            # enable the trainer's host-RSS watchdog (auto limit) only on
-            # the tunneled-TPU (axon) platform, whose IFRT-proxy client
-            # leaks host memory per transfer (CLAUDE.md) — this CLI knows
-            # how to recover (re-exec below). Healthy platforms with a
-            # legitimately large host footprint (dataset caches) should not
-            # churn through checkpoint->execv cycles; opt in explicitly via
-            # SLOTFORMER_RSS_WATCHDOG=1 or params.max_rss_gb.
-            import jax
-
-            if jax.default_backend() == "axon" or os.environ.get(
-                    "SLOTFORMER_RSS_WATCHDOG"):
-                params.max_rss_gb = -1.0
+        if not params.has("max_rss_gb") and _auto_watchdog():
+            # auto limit; this CLI knows how to recover (re-exec below).
+            # Healthy platforms with a legitimately large host footprint
+            # (dataset caches) should not churn through checkpoint->execv
+            # cycles, so they stay opt-in — see _auto_watchdog.
+            params.max_rss_gb = -1.0
         exp_name = os.path.splitext(os.path.basename(args.params))[0]
         if args.seeds > 1:
             exp_name = f"{exp_name}-seed{seed}"

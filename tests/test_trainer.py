@@ -340,6 +340,28 @@ def test_rss_watchdog_reexec_argv(tmp_path, monkeypatch):
     assert "--ckp_path" in argv
 
 
+def test_auto_watchdog_detects_axon_by_env(monkeypatch):
+    """The axon PJRT client reports platform "tpu", so the auto-enable must
+    key on the registration env, not jax.default_backend() (round-3 review:
+    a default_backend()=='axon' gate silently never fired and a no-limit
+    sweep run OOM-died — logs/savi_sweep_r3_sto_lr4e-4.log)."""
+    from slotformer_tpu.cli.train import _auto_watchdog
+
+    for var in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS",
+                "SLOTFORMER_RSS_WATCHDOG"):
+        monkeypatch.delenv(var, raising=False)
+    assert not _auto_watchdog()
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert _auto_watchdog()
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert not _auto_watchdog()
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    assert _auto_watchdog()
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS")
+    monkeypatch.setenv("SLOTFORMER_RSS_WATCHDOG", "1")
+    assert _auto_watchdog()
+
+
 def test_mid_epoch_resume_exact_step_count(tmp_path):
     """Resume from a fractional-save_interval checkpoint: the epoch
     fast-forward skips already-consumed batches so the run ends at exactly
