@@ -140,10 +140,19 @@ class BaseMethod:
         # so any long run eventually OOMs. When RSS crosses the limit the
         # trainer checkpoints and raises RestartForMemory — cli.train
         # re-execs itself with --auto_resume (preemption-resume semantics,
-        # same recovery path as a Slurm requeue). Opt-in: 0/absent disables
-        # (direct fit() callers see no behavior change); -1 = auto (60% of
-        # MemTotal — what cli.train passes); >0 = explicit limit in GB.
-        self.max_rss_gb = float(params.get("max_rss_gb", 0.0))
+        # same recovery path as a Slurm requeue). 0 disables; -1 = auto
+        # (60% of MemTotal — what cli.train passes); >0 = explicit limit in
+        # GB. When ABSENT, the leaky tunneled client itself (detected via
+        # its registration env — its PJRT platform string is just "tpu")
+        # arms the auto limit for EVERY caller, incl. direct fit() scripts:
+        # a checkpoint + loud RestartForMemory beats an un-checkpointed
+        # OOM SIGKILL (round-3: a no-limit sweep run died silently at step
+        # 2800, logs/savi_sweep_r3_sto_lr4e-4.log). Other platforms stay
+        # opt-in — no behavior change for healthy hosts.
+        _axon = ("axon" in os.environ.get("JAX_PLATFORMS", "")
+                 or bool(os.environ.get("PALLAS_AXON_POOL_IPS")))
+        self.max_rss_gb = float(
+            params.get("max_rss_gb", -1.0 if _axon else 0.0))
         if self.max_rss_gb < 0:  # auto: 60% of MemTotal
             try:
                 with open("/proc/meminfo") as f:
