@@ -60,7 +60,12 @@ class CLEVRERTransformerModel(nn.Module):
             lg.get("question_vocab_size", 82), self.lang_emb_dim
         )
         self.q_in_proj = nn.Dense(self.d_model)
-        self.vision_in_proj = nn.Dense(self.d_model)
+        # f32 precision: consumes raw slot features — see the _F32 note in
+        # models/readout.py (bf16 MXU rounding can swamp small
+        # discriminative directions in unnormalized slots)
+        self.vision_in_proj = nn.Dense(
+            self.d_model, precision=jax.lax.Precision.HIGHEST
+        )
         self.cls_param = self.param(
             "CLS", nn.initializers.zeros, (1, 1, self.d_model)
         )

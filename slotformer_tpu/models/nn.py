@@ -17,6 +17,7 @@ TPU-native conventions:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Optional, Sequence, Tuple
 
@@ -78,6 +79,96 @@ class ConvNormAct(nn.Module):
         return _act(self.act)(x)
 
 
+def _dense_conv_transpose(
+    x: jnp.ndarray, kernel: jnp.ndarray, k: int, s: int, pad_lo: int
+) -> jnp.ndarray:
+    """XLA's input-dilated transposed conv (the nn.ConvTranspose lowering)."""
+    pad = (pad_lo, pad_lo + s - 1)
+    # default dimension_numbers ('NHWC','HWIO','NHWC') + transpose_kernel
+    # exactly as flax ConvTranspose does: the [kH,kW,out,in]-stored kernel
+    # is spatially flipped and in/out-swapped inside lax.conv_transpose
+    return jax.lax.conv_transpose(
+        x, kernel, (s, s), (pad, pad), transpose_kernel=True
+    )
+
+
+def _phase_conv_transpose(
+    x: jnp.ndarray, kernel: jnp.ndarray, k: int, s: int, pad_lo: int
+) -> jnp.ndarray:
+    """``lax.conv_transpose(transpose_kernel=True, padding=((pad_lo,
+    pad_lo+s-1),)*2)`` computed as ``s*s`` regular *phase* convolutions.
+
+    XLA lowers a transposed conv via input dilation (``lhs_dilation=s``):
+    the MXU then multiplies the interleaved zeros, wasting up to ``s^2``x
+    the useful work. Each output phase ``(a, b) = (o_h % s, o_w % s)`` only
+    ever reads the non-zero taps ``W[t0+j*s]`` — a small dense conv over
+    the UNDILATED input. Computing the phases separately and interleaving
+    (sub-pixel / depth-to-space identity) is the same function, summing
+    only the non-zero products (float reassociation only; exactness is
+    pinned by tests/test_models.py::test_phase_deconv_matches_dilated).
+
+    ``x``: [B, H, W, Cin]; ``kernel``: [kH, kW, out, in] (the
+    ``transpose_kernel=True`` storage layout). Returns [B, s*H, s*W, out].
+    """
+    # correlation taps of the transposed conv: spatially flipped, in/out
+    # swapped to HWIO (what lax.conv_transpose does internally)
+    wf = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2))  # [k, k, in, out]
+    B, H, W, _ = x.shape
+    co = kernel.shape[2]
+
+    def taps(a: int):
+        """Row/col phase a: first tap index, tap count, conv pads."""
+        t0 = (pad_lo - a) % s
+        n = len(range(t0, k, s))
+        delta = (a - pad_lo + t0) // s  # input offset of the first tap
+        return t0, n, (-delta, n - 1 + delta)
+
+    phases = []
+    for a in range(s):
+        t0a, _, pad_a = taps(a)
+        for b in range(s):
+            t0b, _, pad_b = taps(b)
+            phases.append(
+                jax.lax.conv_general_dilated(
+                    x,
+                    wf[t0a::s, t0b::s],
+                    window_strides=(1, 1),
+                    padding=(pad_a, pad_b),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            )
+    y = jnp.stack(phases, 0).reshape(s, s, B, H, W, co)
+    return y.transpose(2, 3, 0, 4, 1, 5).reshape(B, s * H, s * W, co)
+
+
+# Phase forward + dense backward (measured on v5e, CLEVRER decoder shapes,
+# experiments/phase_deconv_probe.py): the phase decomposition wins the
+# FORWARD (decode 30.0 vs 32.7 ms = 1.09x) but loses the backward badly
+# (dx through 4 phase convs vs ONE strided dense conv: SlotFormer train
+# 278.6 vs 165.4 ms). custom_vjp takes both bests; the backward is the
+# dense lowering's exact VJP, so gradients are bitwise those of the dense
+# path. The unused dense forward inside jax.vjp is dead-code-eliminated
+# (conv_transpose is linear in both args; its VJP never reads the output).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _deconv_phase_fwd_dense_bwd(x, kernel, k: int, s: int, pad_lo: int):
+    return _phase_conv_transpose(x, kernel, k, s, pad_lo)
+
+
+def _deconv_fwd(x, kernel, k, s, pad_lo):
+    return _phase_conv_transpose(x, kernel, k, s, pad_lo), (x, kernel)
+
+
+def _deconv_bwd(k, s, pad_lo, res, g):
+    x, kernel = res
+    _, vjp = jax.vjp(
+        lambda xx, kk: _dense_conv_transpose(xx, kk, k, s, pad_lo), x, kernel
+    )
+    return vjp(g)
+
+
+_deconv_phase_fwd_dense_bwd.defvjp(_deconv_fwd, _deconv_bwd)
+
+
 class DeconvNormAct(nn.Module):
     """Transposed Conv2D (+ norm/act), NHWC.
 
@@ -92,6 +183,15 @@ class DeconvNormAct(nn.Module):
     tests/test_golden_parity.py. flax's ``padding="SAME"`` (unflipped
     kernel, (3, 2) pads at k=5/s=2) is a DIFFERENT function; measured
     max-abs output diff ~1.3 on random weights.
+
+    ``phase``: compute the stride>1 transposed conv FORWARD as ``s*s``
+    phase convs over the undilated input (see ``_phase_conv_transpose``;
+    measured 1.09x the input-dilated lowering on v5e) while the BACKWARD
+    stays the dense lowering's exact VJP via custom_vjp (the phase
+    backward measured 0.6x — experiments/phase_deconv_probe.py). Identical
+    parameters; gradients bitwise-equal to the dense path. ``None``
+    resolves from env ``SF_PHASE_DECONV`` (default on; set
+    ``SF_PHASE_DECONV=0`` to A/B the dilated lowering).
     """
 
     out_channels: int
@@ -99,23 +199,50 @@ class DeconvNormAct(nn.Module):
     stride: int = 2
     norm: str = ""
     act: str = "relu"
+    phase: Optional[bool] = None
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         k, s = self.kernel_size, self.stride
-        pad_lo = k - 1 - k // 2
-        pad = (pad_lo, pad_lo + s - 1)
-        x = nn.ConvTranspose(
+        self._pad_lo = k - 1 - k // 2
+        pad = (self._pad_lo, self._pad_lo + s - 1)
+        # explicit name: params stay at 'ConvTranspose_0' (the former
+        # @nn.compact auto-name) so existing checkpoints load unchanged
+        self._ct = nn.ConvTranspose(
             self.out_channels,
             kernel_size=(k, k),
             strides=(s, s),
             padding=(pad, pad),
             transpose_kernel=True,
-        )(x)
+            name="ConvTranspose_0",
+        )
         if self.norm == "gn":
-            x = nn.GroupNorm(num_groups=1)(x)
+            self._gn = nn.GroupNorm(num_groups=1, name="GroupNorm_0")
         elif self.norm:
             raise NotImplementedError(f"norm {self.norm}")
+
+    def _use_phase(self, x: jnp.ndarray) -> bool:
+        if self.stride == 1 or self.is_initializing():
+            return False  # s=1 has no dilation waste; init creates params
+        if self.kernel_size % 2 == 0:
+            return False  # even k: torch output is s*H-1, not the phase s*H
+        if x.dtype != jnp.float32:
+            return False  # keep the measured-fast path for f32 only
+        if self.phase is not None:
+            return self.phase
+        import os
+
+        return os.environ.get("SF_PHASE_DECONV", "1") != "0"
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self._use_phase(x):
+            p = self._ct.variables["params"]
+            x = _deconv_phase_fwd_dense_bwd(
+                x, p["kernel"], self.kernel_size, self.stride, self._pad_lo
+            ) + p["bias"]
+        else:
+            x = self._ct(x)
+        if self.norm == "gn":
+            x = self._gn(x)
         return _act(self.act)(x)
 
 

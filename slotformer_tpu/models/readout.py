@@ -15,10 +15,22 @@ from __future__ import annotations
 from itertools import combinations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .nn import PosEnc, TransformerEncoder
+
+# The first projection consumes RAW slot features, whose informative
+# directions can sit orders of magnitude below the per-channel offsets
+# (round-3 PHYRE probe: label direction ~0.5% of channel scale). The TPU's
+# default matmul runs bf16 MXU passes (~0.4% relative rounding), which
+# swamps such signals AND breaks the standardization->in_proj fold identity
+# (measured on hardware: max|dlogit| 1.15 at bf16 vs 1.3e-5 at f32 —
+# experiments/phyre_fake_pipeline.py). The reference computes this layer in
+# f32 CUDA; pin f32 here too. Cost is negligible (C -> d_model once per
+# token); parameter tree unchanged.
+_F32 = jax.lax.Precision.HIGHEST
 
 
 def _bce_with_logits(logits, labels):
@@ -47,7 +59,7 @@ class PHYREReadout(nn.Module):
         self.sel_slots = tuple(rd.get("sel_slots", (0, 3)))
         self.T = len(self.sel_slots)
         d_model = rd.get("d_model", 128)
-        self.in_proj = nn.Dense(d_model)
+        self.in_proj = nn.Dense(d_model, precision=_F32)
         self.cls_param = self.param("CLS", nn.initializers.zeros, (1, 1, d_model))
         self.transformer_encoder = TransformerEncoder(
             d_model=d_model,
@@ -102,7 +114,7 @@ class PhysionReadout(nn.Module):
         feats_dim = rd.get("feats_dim", 192)
         combs = list(combinations(range(self.num_slots), 2))
         self.comb_idx = np.asarray(combs, np.int32)  # [num_combs, 2]
-        self.linear1 = nn.Dense(feats_dim)
+        self.linear1 = nn.Dense(feats_dim, precision=_F32)
         self.linear2 = nn.Dense(1)
 
     def __call__(self, batch: dict, deterministic: bool = True):

@@ -52,6 +52,41 @@ def tiny_slotformer(use_img=False, history=3, rollout=4):
     )
 
 
+# ------------------------------------------------------------ phase deconv
+# (5,1): s=1 fallback; (4,2): even-k fallback (torch output is s*H-1 there)
+@pytest.mark.parametrize("k,s,h", [(5, 2, 8), (3, 2, 5), (5, 1, 6), (4, 2, 7)])
+def test_phase_deconv_matches_dilated(k, s, h):
+    """The s*s-phase decomposition of the transposed conv is the same
+    function as XLA's input-dilated lowering (forward AND backward), with
+    an identical parameter tree."""
+    from slotformer_tpu.models.nn import DeconvNormAct
+
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, h, h, 6), jnp.float32)
+    dense = DeconvNormAct(5, kernel_size=k, stride=s, act="", phase=False)
+    phased = DeconvNormAct(5, kernel_size=k, stride=s, act="", phase=True)
+    params = dense.init(rng, x)
+    assert jax.tree.structure(params) == jax.tree.structure(
+        phased.init(rng, x)
+    )
+
+    y_dense, g_dense = jax.value_and_grad(
+        lambda p, xx: (dense.apply(p, xx) ** 2).sum(), argnums=(0, 1)
+    )(params, x)
+    y_phase, g_phase = jax.value_and_grad(
+        lambda p, xx: (phased.apply(p, xx) ** 2).sum(), argnums=(0, 1)
+    )(params, x)
+    out_d = dense.apply(params, x)
+    out_p = phased.apply(params, x)
+    if k % 2:  # even k falls back (torch output is s*H-1 there)
+        assert out_d.shape == (2, s * h, s * h, 5)
+    assert out_p.shape == out_d.shape
+    np.testing.assert_allclose(out_p, out_d, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(y_phase, y_dense, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_phase), jax.tree.leaves(g_dense)):
+        np.testing.assert_allclose(a, b, atol=3e-4, rtol=1e-4)
+
+
 # ------------------------------------------------------------ slot attention
 def manual_slot_attention(params, inputs, slots, num_iters=2, eps=1e-6):
     """Reference math in pure numpy (savi.py:56-102)."""
