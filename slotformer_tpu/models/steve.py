@@ -160,8 +160,14 @@ class STEVE(nn.Module):
     # --------------------------------------------------------------- forward
     def __call__(self, batch: dict, deterministic: bool = True, testing: bool = False):
         if self.is_initializing():
-            # materialize the full dVAE (incl. decoder) so the pretrained
-            # ckpt can be grafted even when use_img_recon_loss is off
+            # materialize the FULL dVAE (encoder + decoder) so the
+            # pretrained ckpt can be grafted whatever the data path:
+            # the decoder is unused when use_img_recon_loss is off, and the
+            # ENCODER is unused when the loader supplies precomputed
+            # ``token_id`` (the Physion tokenize_images path) — flax only
+            # creates params for modules actually called during init
+            H, W = self.resolution
+            self.dvae.tokenize(jnp.zeros((1, 1, H, W, 3)), one_hot=False)
             self.dvae.detokenize(
                 jnp.zeros((1, self.h, self.w, self.vocab_size))
             )

@@ -108,11 +108,17 @@ class STEVESlotFormer(nn.Module):
     # --------------------------------------------------------------- forward
     def __call__(self, batch: dict, deterministic: bool = True):
         if self.is_initializing():
-            # materialize frozen decoder + dVAE params for grafting
+            # materialize frozen decoder + FULL dVAE (encoder included:
+            # when the loader supplies precomputed token_id — the Physion
+            # tokenize_images path — tokenize() is never traced, flax would
+            # skip its params, and the dVAE ckpt graft would fail on
+            # structure mismatch)
             self.trans_decoder(
                 jnp.zeros((1, self.num_slots, self.slot_size)),
                 jnp.zeros((1, self.num_patches - 1), jnp.int32),
             )
+            H, W = self.resolution
+            self.dvae.tokenize(jnp.zeros((1, 1, H, W, 3)), one_hot=False)
             self.dvae.detokenize(
                 jnp.zeros((1, self.h, self.w, self.vocab_size))
             )
