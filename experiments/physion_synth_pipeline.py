@@ -82,8 +82,13 @@ def _render(seed, scenario):
     gx = rng.uniform(0.55, 0.8)
     contact = bool(rng.integers(2))
     if scenario == "Drop":
-        rx = gx + (rng.uniform(-0.06, 0.06) if contact
-                   else rng.choice([-1, 1]) * rng.uniform(0.22, 0.38))
+        if contact:
+            rx = gx + rng.uniform(-0.06, 0.06)
+        else:
+            off = rng.choice([-1, 1]) * rng.uniform(0.22, 0.38)
+            if not 0.12 <= gx + off <= 0.92:
+                off = -off  # clipping would land inside the contact radius
+            rx = gx + off
         rx = float(np.clip(rx, 0.12, 0.92))
         ry, vy = 0.12, rng.uniform(0.042, 0.052)
         vx = 0.0
@@ -126,7 +131,9 @@ def stage_data():
     from slotformer_tpu.runtime.io import save_video
 
     data = "data/Physion"
-    marker = os.path.join("splits", "test_test.json")
+    # dedicated marker written LAST (after the label CSVs): resuming from a
+    # crash between test_test.json and the CSVs must not skip this stage
+    marker = os.path.join("splits", ".data_done")
     if os.path.exists(marker):
         return
     os.makedirs("splits", exist_ok=True)
@@ -170,6 +177,7 @@ def stage_data():
           f"videos in {time.perf_counter() - t0:.1f}s "
           f"({n_pos} contact-positive of {len(ro_rows) + len(te_rows) - 2} "
           "labeled)", flush=True)
+    open(marker, "w").write("done\n")
 
 
 DVAE_CFG = f"""

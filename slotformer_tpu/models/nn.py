@@ -185,13 +185,14 @@ class DeconvNormAct(nn.Module):
     max-abs output diff ~1.3 on random weights.
 
     ``phase``: compute the stride>1 transposed conv FORWARD as ``s*s``
-    phase convs over the undilated input (see ``_phase_conv_transpose``;
-    measured 1.09x the input-dilated lowering on v5e) while the BACKWARD
-    stays the dense lowering's exact VJP via custom_vjp (the phase
-    backward measured 0.6x — experiments/phase_deconv_probe.py). Identical
-    parameters; gradients bitwise-equal to the dense path. ``None``
-    resolves from env ``SF_PHASE_DECONV`` (default on; set
-    ``SF_PHASE_DECONV=0`` to A/B the dilated lowering).
+    phase convs over the undilated input (see ``_phase_conv_transpose``)
+    while the BACKWARD stays the dense lowering's exact VJP via custom_vjp.
+    Identical parameters; gradients bitwise-equal to the dense path.
+    ``None`` resolves from env ``SF_PHASE_DECONV`` (**default OFF**): the
+    post-custom_vjp probe measured the phase path at 0.51x decode / 0.46x
+    SlotFormer-train (experiments/logs/phase_deconv_probe_vjp.log) — the
+    earlier 1.09x forward-only win does not survive once the dense VJP is
+    threaded through. Kept behind ``SF_PHASE_DECONV=1`` for A/B probes.
     """
 
     out_channels: int
@@ -231,7 +232,7 @@ class DeconvNormAct(nn.Module):
             return self.phase
         import os
 
-        return os.environ.get("SF_PHASE_DECONV", "1") != "0"
+        return os.environ.get("SF_PHASE_DECONV", "0") == "1"
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self._use_phase(x):

@@ -77,16 +77,18 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
             f"{path}: checkpoint format_version {ver} is newer than this "
             f"framework's {FORMAT_VERSION} — upgrade the framework")
     if ver is None and _has_deconv(payload.get("state_dict", {})):
-        import warnings
-
-        warnings.warn(
+        # hard error, not a warning: a round-1-geometry deconv loads without
+        # shape error and decodes garbage, silently poisoning everything
+        # downstream (the round-3 hardware queue burned its window on one).
+        raise ValueError(
             f"{path}: checkpoint predates the format_version stamp and "
             "contains ConvTranspose kernels. If it was written by the "
             "round-1 deconv geometry ([kH,kW,in,out]) its decoder will "
             "load without error but decode garbage — re-convert from the "
-            "reference ckpt or retrain (see models/nn.py DeconvNormAct).",
-            stacklevel=2,
-        )
+            "reference ckpt or retrain (see models/nn.py DeconvNormAct). "
+            "To force-load a ckpt you know is post-round-2 geometry, "
+            "re-save it with format_version=2 via "
+            "slotformer_tpu.runtime.checkpoint.save_checkpoint.")
     return payload
 
 

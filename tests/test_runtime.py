@@ -186,8 +186,9 @@ def test_dataloader_abandoned_iterator_no_thread_leak():
 
 def test_checkpoint_format_version(tmp_path):
     """Every saved ckpt is stamped; unstamped (round-1) payloads containing
-    ConvTranspose kernels warn loudly (old deconv geometry loads without a
-    shape error when in==out channels); future versions hard-fail."""
+    ConvTranspose kernels hard-fail (old deconv geometry loads without a
+    shape error when in==out channels — round 3 lost a hardware window to
+    one loading silently); future versions hard-fail too."""
     import pickle
 
     from slotformer_tpu.runtime import checkpoint as C
@@ -202,7 +203,7 @@ def test_checkpoint_format_version(tmp_path):
     del payload["format_version"]
     with open(p, "wb") as f:
         pickle.dump(payload, f)
-    with pytest.warns(UserWarning, match="deconv geometry"):
+    with pytest.raises(ValueError, match="deconv geometry"):
         C.load_checkpoint(p)
 
     payload["format_version"] = C.FORMAT_VERSION + 1
