@@ -1,0 +1,185 @@
+"""Round-4 probe: attack the frozen-decoder backward (VERDICT r3 #7).
+
+The SlotFormer train step is decoder-backward-bound (docs/benchmark.md:
+decoder fwd+dx ~133.6 ms chunked of a ~165 ms step). The frozen decoder
+needs only dx (dW is stop_gradient'ed away already) and its backward is
+HBM-bound on saved activations. Variants timed here, decoder-only at the
+CLEVRER train shape (640 frames x 7 slots -> 64x64), then the winning one
+through the full SlotFormer train step:
+
+  f32          - current production path (whole batch + chunk 160)
+  bf16         - decoder params + inputs cast to bf16 (halves activation
+                 HBM traffic; loss accumulated in f32). NOTE round-3 found
+                 explicit-bf16 conv storage ~2.5x SLOWER on the decode
+                 FORWARD; this re-tests under value_and_grad where the
+                 activation traffic dominates.
+  chunk sweep  - bf16 may shift the optimal lax.scan chunk size.
+
+Also prints an analytic roofline (conv MACs + saved-activation bytes vs
+197 TFLOP/s bf16 peak / 819 GB/s HBM on v5e) and optionally captures a
+jax.profiler trace of the full train step (SF_TRACE_DIR env).
+
+Timing per CLAUDE.md tunneled-TPU rules: iterations folded into one jit via
+lax.scan, synced by fetching a scalar.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+F = int(os.environ.get("SF_PROBE_F", "640"))  # CLEVRER: B=64 x T_ro=10
+S, D = 7, 128
+RES = 64
+
+
+def timed_scalar(fn, *args, iters=3):
+    v = float(fn(*args))  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        v = float(fn(*args))
+    assert np.isfinite(v)
+    return (time.perf_counter() - t0) / iters
+
+
+def mk_dec():
+    from slotformer_tpu.models.savi import SpatialBroadcastDecoder
+
+    return SpatialBroadcastDecoder(
+        resolution=(RES, RES), slot_size=D,
+        dec_dict=dict(dec_channels=(128, 64, 64, 64, 64),
+                      dec_resolution=(8, 8), dec_ks=5),
+    )
+
+
+def probe_dec_grad(results, dtype_name, nc):
+    """Frozen-decoder img-recon loss fwd+dx: d(loss)/d(slots)."""
+    dec = mk_dec()
+    rs = np.random.RandomState(0)
+    slots = jax.device_put(rs.randn(F, S, D).astype(np.float32))
+    img = jax.device_put(rs.uniform(-1, 1, (F, RES, RES, 3))
+                         .astype(np.float32))
+    params = jax.device_put(dec.init(jax.random.PRNGKey(0), slots[:2]))
+    cdt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    cparams = jax.tree.map(lambda a: a.astype(cdt), params)
+
+    def loss(s, p, i):
+        s = s.astype(cdt)
+        if nc == 1:
+            rc = dec.apply(p, s)[0]
+            return ((rc.astype(jnp.float32) - i) ** 2).mean()
+
+        def body(c, xs):
+            ss, ii = xs
+            rc = dec.apply(p, ss)[0]
+            return c + ((rc.astype(jnp.float32) - ii) ** 2).sum(), None
+
+        sse, _ = jax.lax.scan(
+            body, jnp.zeros(()),
+            (s.reshape(nc, F // nc, S, D),
+             i.reshape(nc, F // nc, RES, RES, 3)))
+        return sse / i.size
+
+    @jax.jit
+    def k(s, p, i):
+        def one(c, _):
+            l, g = jax.value_and_grad(loss)(s, p, i)
+            return c + l + g.mean(), None
+        acc, _ = jax.lax.scan(one, jnp.zeros(()), jnp.arange(4))
+        return acc
+
+    dt = timed_scalar(k, slots, cparams, img) / 4
+    tag = f"dec_grad_{dtype_name}_c{nc}"
+    results[f"{tag}_ms"] = round(dt * 1e3, 1)
+    results[f"{tag}_fps"] = round(F / dt, 1)
+
+
+def roofline(results):
+    """Analytic MACs + activation bytes for the decode fwd+dx."""
+    # per image-slot: deconv 8->16 (128->64ch), 16->32, 32->64, 64 s1, 1x1
+    layers = [(16, 128, 64), (32, 64, 64), (64, 64, 64), (64, 64, 64)]
+    macs = sum(h * h * 25 * ci * co for h, ci, co in layers) + RES * RES * 64 * 4
+    act_elems = sum(h * h * co for h, _, co in layers)  # saved pre-relu
+    n = F * S
+    fwd_tf = 2 * macs * n / 1e12
+    results["roofline_fwd_tflop"] = round(fwd_tf, 2)
+    results["roofline_fwd_dx_tflop"] = round(2 * fwd_tf, 2)
+    results["roofline_compute_floor_ms_at_peak"] = round(
+        2 * fwd_tf / 197 * 1e3, 1)
+    for name, bytes_per in (("f32", 4), ("bf16", 2)):
+        gb = act_elems * n * bytes_per / 1e9
+        results[f"roofline_act_{name}_gb"] = round(gb, 2)
+        # fwd writes + bwd reads acts, + dout streams of similar size
+        results[f"roofline_hbm_floor_{name}_ms"] = round(
+            3 * gb / 819 * 1e3, 1)
+
+
+def probe_full_train(results, tag, loss_extra):
+    from __graft_entry__ import _flagship_model
+
+    model = _flagship_model(**loss_extra)
+    rs = np.random.RandomState(0)
+    batch = jax.device_put(
+        {"slots": rs.randn(64, 16, 7, 128).astype(np.float32),
+         "img": rs.uniform(-1, 1, (64, 16, RES, RES, 3)).astype(np.float32)})
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch)
+    params = jax.device_put(variables["params"])
+    tx = optax.chain(optax.clip_by_global_norm(0.05), optax.adam(1e-4))
+    opt_state = jax.device_put(tx.init(params))
+
+    def one(carry, i):
+        p, o = carry
+
+        def loss_fn(pp):
+            pp = {k: jax.lax.stop_gradient(v) if k == "decoder" else v
+                  for k, v in pp.items()}
+            losses = model.apply(
+                {"params": pp}, batch, method="train_loss",
+                rngs={"dropout": jax.random.fold_in(jax.random.PRNGKey(7), i)})
+            return sum(jnp.asarray(v) for v in losses.values())
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        upd, o = tx.update(grads, o, p)
+        return (optax.apply_updates(p, upd), o), loss
+
+    @jax.jit
+    def k_steps(p, o):
+        (_, _), losses = jax.lax.scan(one, (p, o), jnp.arange(4))
+        return losses[-1]
+
+    trace_dir = os.environ.get("SF_TRACE_DIR")
+    dt = timed_scalar(k_steps, params, opt_state) / 4
+    results[f"sf_train_{tag}_ms"] = round(dt * 1e3, 1)
+    results[f"sf_train_{tag}_fps"] = round(64 * 10 / dt, 1)
+    if trace_dir and tag == "f32":
+        with jax.profiler.trace(trace_dir):
+            float(k_steps(params, opt_state))
+        results["trace_dir"] = trace_dir
+
+
+def main():
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    results = {}
+    roofline(results)
+    print(json.dumps(results), flush=True)
+    for dtype_name, nc in (("f32", 4), ("f32", 1), ("bf16", 1), ("bf16", 2),
+                           ("bf16", 4), ("bf16", 8)):
+        probe_dec_grad(results, dtype_name, nc)
+        print(json.dumps(results), flush=True)
+    probe_full_train(results, "f32", {})
+    print(json.dumps(results), flush=True)
+    # winner wiring measured separately once the micro numbers are known
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
