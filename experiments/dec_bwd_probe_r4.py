@@ -71,7 +71,7 @@ def probe_dec_grad(results, dtype_name, nc):
     cparams = jax.tree.map(lambda a: a.astype(cdt), params)
 
     def loss(s, p, i):
-        s = s.astype(cdt)
+        s = s.reshape(F, S, D).astype(cdt)
         if nc == 1:
             rc = dec.apply(p, s)[0]
             return ((rc.astype(jnp.float32) - i) ** 2).mean()
@@ -90,7 +90,11 @@ def probe_dec_grad(results, dtype_name, nc):
     @jax.jit
     def k(s, p, i):
         def one(c, _):
-            l, g = jax.value_and_grad(loss)(s, p, i)
+            # thread the carry into the input: without this the body is
+            # loop-invariant and XLA's while-loop LICM can hoist the whole
+            # decode+grad out of the scan (first probe version measured
+            # an impossible >peak FLOP rate on the bf16 variant)
+            l, g = jax.value_and_grad(loss)(s + 1e-20 * c, p, i)
             return c + l + g.mean(), None
         acc, _ = jax.lax.scan(one, jnp.zeros(()), jnp.arange(4))
         return acc
@@ -177,7 +181,9 @@ def main():
         print(json.dumps(results), flush=True)
     probe_full_train(results, "f32", {})
     print(json.dumps(results), flush=True)
-    # winner wiring measured separately once the micro numbers are known
+    probe_full_train(results, "bf16", {"dec_recon_bf16": True})
+    print(json.dumps(results), flush=True)
+    probe_full_train(results, "f32_unchunked", {"dec_chunk_frames": 0})
     print(json.dumps(results))
 
 

@@ -239,6 +239,11 @@ class SlotFormer(nn.Module):
         # makes chunking a net loss (measured +10% on the SAVi train step).
         # 0 disables.
         self.dec_chunk_frames = int(ld.get("dec_chunk_frames", 160))
+        # decode the frozen img-recon loss in bf16 (params cast at trace
+        # time, slot MSE and loss accumulation stay f32): halves the
+        # backward's saved-activation HBM traffic. Takes precedence over
+        # chunking (whole-batch bf16 fits where f32 spilled).
+        self.dec_recon_bf16 = bool(ld.get("dec_recon_bf16", False))
 
     def _make_rollouter(self, rd: dict) -> nn.Module:
         return SlotRollouter(name="rollouter", **rd)
@@ -406,19 +411,57 @@ class SlotFormer(nn.Module):
             return sse / (w.sum() * H * W * C + self.eps)
         return sse / (F * H * W * C)
 
+    def _bf16_img_recon_loss(
+        self, batch: dict, pred_slots: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Whole-batch img-recon MSE through the frozen decoder with params
+        + inputs cast to bf16 (error/accumulation in f32). Matches the f32
+        value to bf16 precision incl. vid_len masking (equivalence-tested).
+        Frozen-only, like chunking: upstream stop_gradient means no dW ever
+        sees the reduced precision."""
+        B, T_ro = pred_slots.shape[:2]
+        gt_img = batch["img"][:, self.history_len :]
+        H, W, C = gt_img.shape[2:]
+        F = B * T_ro
+        flat = pred_slots.reshape(F, self.num_slots, self.slot_size)
+        p16 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16),
+            self.decoder.variables["params"],
+        )
+        dec = self.decoder.clone(parent=None)
+        rc = dec.apply({"params": p16}, flat.astype(jnp.bfloat16))[0]
+        err = (rc.astype(jnp.float32) - gt_img.reshape(F, H, W, C)) ** 2
+        vid_len = batch.get("vid_len", None)
+        if vid_len is None:
+            return err.mean()
+        valid = (
+            jnp.arange(T_ro)[None] + self.history_len < vid_len[:, None]
+        )
+        w = valid.astype(err.dtype).reshape(F)
+        return (err.sum(axis=(1, 2, 3)) * w).sum() / (
+            w.sum() * H * W * C + self.eps
+        )
+
     def train_loss(self, batch: dict, loss_decay_factor: float = 1.0) -> dict:
         nc = 1
         if self.use_img_recon_loss:
             nc = _pick_chunks(
                 batch["slots"].shape[0] * self.rollout_len, self.dec_chunk_frames
             )
+        if (self.use_img_recon_loss and self.dec_recon_bf16
+                and not self.is_initializing()):
+            # bf16 decodes whole-batch; marker for the branch below. At init
+            # the plain/chunked path must run so the decoder params are
+            # created (the bf16 path reads .variables, which init lacks).
+            nc = 0
         if nc == 1:
             out = self(batch, deterministic=False)
             return self.calc_train_loss(
                 batch, out, loss_decay_factor=loss_decay_factor, training=True
             )
-        # chunked img-recon path: rollout WITHOUT decoding, slot loss from
-        # calc_train_loss, img loss decoded chunk-by-chunk
+        # chunked / bf16 img-recon path: rollout WITHOUT decoding, slot loss
+        # from calc_train_loss, img loss decoded chunk-by-chunk or whole-batch
+        # in bf16
         slots = batch["slots"]
         past_slots = slots[:, : self.history_len]
         gt_slots = slots[:, self.history_len :]
@@ -430,9 +473,14 @@ class SlotFormer(nn.Module):
         loss_dict = self.calc_train_loss(
             batch, out, loss_decay_factor=loss_decay_factor, training=True
         )
-        loss_dict["img_recon_loss"] = self._chunked_img_recon_loss(
-            batch, pred_slots, nc
-        )
+        if nc == 0:
+            loss_dict["img_recon_loss"] = self._bf16_img_recon_loss(
+                batch, pred_slots
+            )
+        else:
+            loss_dict["img_recon_loss"] = self._chunked_img_recon_loss(
+                batch, pred_slots, nc
+            )
         return loss_dict
 
     def eval_loss(self, batch: dict) -> dict:

@@ -298,6 +298,54 @@ def test_slotformer_chunked_img_recon_matches_unchunked():
                 err_msg=f"{k} {sorted(extra)}")
 
 
+def test_slotformer_bf16_img_recon_matches_f32():
+    """dec_recon_bf16 whole-batch bf16 decode-loss == the f32 path to bf16
+    precision, with and without vid_len masking; grads still reach the
+    rollouter. Params are identical trees (same init through __call__)."""
+
+    def build(**ld):
+        return SlotFormer(
+            resolution=(16, 16),
+            slot_dict=dict(num_slots=4, slot_size=16),
+            dec_dict=dict(dec_channels=(16, 8), dec_resolution=(16, 16),
+                          dec_ks=3),
+            rollout_dict=dict(num_slots=4, slot_size=16, history_len=3,
+                              t_pe="sin", d_model=16, num_layers=1,
+                              num_heads=2, ffn_dim=32, dropout=0.0),
+            loss_dict=dict(rollout_len=4, use_img_recon_loss=True,
+                           dec_chunk_frames=0, **ld),
+        )
+
+    base = build()
+    bf16 = build(dec_recon_bf16=True)
+    batch = {
+        "slots": jax.random.normal(RNG, (2, 7, 4, 16)),
+        "img": jax.random.normal(jax.random.PRNGKey(3), (2, 7, 16, 16, 3)),
+    }
+    variables = bf16.init(RNG, batch)  # init must route through f32 paths
+    kw = dict(method="train_loss", rngs={"dropout": jax.random.PRNGKey(5)})
+    for extra in ({}, {"vid_len": jnp.array([5, 7])}):
+        b = dict(batch, **extra)
+        l_ref = base.apply(variables, b, **kw)
+        l_16 = bf16.apply(variables, b, **kw)
+        assert set(l_ref) == set(l_16)
+        for k in l_ref:
+            tol = 3e-2 if k == "img_recon_loss" else 2e-5
+            np.testing.assert_allclose(
+                np.asarray(l_ref[k]), np.asarray(l_16[k]), rtol=tol,
+                err_msg=f"{k} {sorted(extra)}")
+
+    def total(p):
+        ld = bf16.apply({"params": p}, batch, **kw)
+        return sum(jnp.asarray(v) for v in ld.values())
+
+    g = jax.grad(total)(variables["params"])
+    gnorm = float(
+        sum(jnp.sum(x * x) for x in jax.tree_util.tree_leaves(g["rollouter"]))
+    )
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
 def test_slotformer_autoregressive_dependency():
     """Prediction t depends on predictions < t (window slides)."""
     model = tiny_slotformer(use_img=False, history=3, rollout=1)
