@@ -6,6 +6,8 @@ modules) and drives the conversion CLI end-to-end, asserting the converted
 checkpoint reproduces the reference outputs through the public model API.
 """
 
+import pytest
+
 import numpy as np
 import torch
 
@@ -63,6 +65,7 @@ class SlotFormerParams(BaseParams):
 """
 
 
+@pytest.mark.slow
 def test_convert_steve_ckpt(tmp_path):
     import jax
 

@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from slotformer_tpu.methods import build_method
 from slotformer_tpu.models import build_model
 from slotformer_tpu.runtime import BaseDataModule, BaseParams, dump_obj

@@ -391,6 +391,7 @@ def test_aloe_parity(store):
         rtol=RTOL, atol=ATOL)
 
 
+@pytest.mark.slow
 def test_stosavi_training_trajectory_parity(store):
     """20 noise-matched Adam steps of the STOCHASTIC StoSAVi recipe
     (kld var-0.01, reference loss weights): the flax kld/recon loss

@@ -36,6 +36,7 @@ def _tiny_aloe(B=4, T=3, N=4, Cv=16, L=8):
     )
 
 
+@pytest.mark.slow
 def test_aloe_forward_and_losses():
     model = _tiny_aloe()
     batch = _aloe_batch()

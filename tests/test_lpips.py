@@ -42,6 +42,7 @@ def test_lpips_self_distance_zero(golden):
     np.testing.assert_allclose(got, 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_load_lpips_fallback_and_file_roundtrip(tmp_path):
     # no path, no fallback -> None (silent-missing contract)
     assert load_lpips("") is None

@@ -1,5 +1,7 @@
 """Mesh/sharding tests on the fake 8-device CPU mesh."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,6 +61,7 @@ def test_pad_batch_to():
     assert same["x"].shape == (8, 3) and mask2.all()
 
 
+@pytest.mark.slow
 def test_single_vs_multi_device_train_equivalence():
     """DDP-equivalence: N optimizer steps of the tiny SlotFormer on a
     1-device mesh and on the full 4x2 mesh, with the IDENTICAL global batch

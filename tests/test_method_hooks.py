@@ -6,6 +6,8 @@ Reference behaviors: base_slots/method.py:165-231 (dVAE recon videos + tau),
 (readout GT/pred-captioned samples).
 """
 
+import pytest
+
 import os
 
 import jax
@@ -35,6 +37,7 @@ class _Videos:
         return {"video": self.v[i], "data_idx": i}
 
 
+@pytest.mark.slow
 def test_dvae_training_tau_anneal_and_sample_video(tmp_path):
     class P(BaseParams):
         model = "dVAE"
@@ -72,6 +75,7 @@ def test_dvae_training_tau_anneal_and_sample_video(tmp_path):
     assert vids, "dVAE _sample_video produced no output"
 
 
+@pytest.mark.slow
 def test_steve_sample_video(tmp_path):
     from slotformer_tpu.models.dvae import dVAE
 

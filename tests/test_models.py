@@ -55,6 +55,7 @@ def tiny_slotformer(use_img=False, history=3, rollout=4):
 # ------------------------------------------------------------ phase deconv
 # (5,1): s=1 fallback; (4,2): even-k fallback (torch output is s*H-1 there)
 @pytest.mark.parametrize("k,s,h", [(5, 2, 8), (3, 2, 5), (5, 1, 6), (4, 2, 7)])
+@pytest.mark.slow
 def test_phase_deconv_matches_dilated(k, s, h):
     """The s*s-phase decomposition of the transposed conv is the same
     function as XLA's input-dilated lowering (forward AND backward), with
@@ -173,6 +174,7 @@ def test_sin_pos_enc_matches_reference_formula():
 
 # ------------------------------------------------------------------- StoSAVi
 @pytest.mark.parametrize("kld,pred_rnn", [("var-0.01", False), ("none", True)])
+@pytest.mark.slow
 def test_stosavi_forward_shapes(kld, pred_rnn):
     model = tiny_savi(kld=kld, pred_rnn=pred_rnn, pred_type="transformer" if pred_rnn else "mlp")
     batch = {"img": jnp.zeros((2, 4, 32, 32, 3))}
@@ -195,6 +197,7 @@ def test_stosavi_forward_shapes(kld, pred_rnn):
     assert np.isfinite(float(losses["post_recon_loss"]))
 
 
+@pytest.mark.slow
 def test_stosavi_temporal_recurrence_uses_predictor():
     """Slots at t>0 must depend on slots at t-1 (recurrence, savi.py:393-410)."""
     model = tiny_savi(kld="none")

@@ -77,6 +77,7 @@ def _wp(D=16, H=32, seed=1):
     )
 
 
+@pytest.mark.slow
 def test_whole_loop_fused_kernel_matches_reference():
     from slotformer_tpu.ops import fused_reference, fused_slot_attention
 
@@ -112,6 +113,7 @@ def test_whole_loop_fused_kernel_matches_reference():
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_slot_attention_module_use_pallas_parity():
     """SlotAttention(use_pallas=True) == use_pallas=False, values + grads,
     through the real flax module (fused path engaged post-init)."""

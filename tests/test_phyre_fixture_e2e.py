@@ -24,6 +24,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from slotformer_tpu.runtime import save_checkpoint
 
 RES = 16

@@ -24,6 +24,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from slotformer_tpu.runtime import load_obj, save_checkpoint
 from slotformer_tpu.runtime.io import save_video
 

@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 SAVI_CFG = """
 from slotformer_tpu.runtime import BaseParams
 

@@ -37,6 +37,7 @@ def test_gumbel_softmax_properties():
     assert (np.asarray(oh.argmax(-1)) == np.asarray(logits.argmax(-1))).all()
 
 
+@pytest.mark.slow
 def test_dvae_shapes_and_loss():
     model = dVAE(vocab_size=32)
     batch = {"img": jnp.zeros((2, 16, 16, 3))}
@@ -69,6 +70,7 @@ def test_steve_decoder_forward_shapes():
     assert logits.shape == (2, 16, 16)
 
 
+@pytest.mark.slow
 def test_kv_cached_generate_matches_full_reforward():
     """The KV-cached generate must produce the same tokens/logits as the
     reference's full-prefix re-forward algorithm."""
@@ -117,6 +119,7 @@ def _tiny_steve():
     )
 
 
+@pytest.mark.slow
 def test_steve_forward_and_loss():
     model = _tiny_steve()
     batch = {"img": jnp.zeros((2, 3, 16, 16, 3))}

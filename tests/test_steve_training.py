@@ -1,5 +1,9 @@
 """STEVE training through the trainer: frozen dVAE graft + dual-LR groups."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import numpy as np
 

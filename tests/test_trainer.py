@@ -77,6 +77,7 @@ class SAViParams(BaseParams):
     kld_loss_w = 1e-4
 
 
+@pytest.mark.slow
 def test_savi_training_loss_decreases(tmp_path):
     params = SAViParams()
     dm = BaseDataModule(params, _SyntheticVideo(32), _SyntheticVideo(8, seed=1))
@@ -134,6 +135,7 @@ class SFParams(BaseParams):
     slot_recon_loss_w = 1.0
 
 
+@pytest.mark.slow
 def test_slotformer_frozen_decoder_and_training(tmp_path):
     # 1) make a fake SAVi ckpt to graft the decoder from
     savi_params = SAViParams()
@@ -175,6 +177,7 @@ def test_slotformer_frozen_decoder_and_training(tmp_path):
     assert method.it == 2 * len(dm.train_loader)
 
 
+@pytest.mark.slow
 def test_resume_roundtrip(tmp_path):
     params = SFParams()
     dm = BaseDataModule(params, _SyntheticSlots(16), None)
@@ -198,6 +201,7 @@ def test_resume_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_trainer_bf16_and_grad_accum(tmp_path):
     """use_fp16 (bf16 compute) + accum_grad paths train and reduce loss."""
     params = SFParams()
@@ -241,6 +245,7 @@ def method_fit_and_track_sf(method):
     return {"first": losses[0], "last": losses[-1]}
 
 
+@pytest.mark.slow
 def test_fused_multi_step_training(tmp_path):
     """steps_per_call > 1 fuses K optimizer steps into one device call."""
     params = SFParams()
@@ -264,6 +269,7 @@ def test_fused_multi_step_training(tmp_path):
     assert os.path.exists(tmp_path / "ckp" / "latest.ckpt.pkl")
 
 
+@pytest.mark.slow
 def test_fused_multi_step_remainder(tmp_path):
     """Epoch length not divisible by steps_per_call: the leftover batches
     run through the single-step path — no data dropped, exact step count."""
@@ -279,6 +285,7 @@ def test_fused_multi_step_remainder(tmp_path):
     assert method.it == 2 * len(dm.train_loader), method.it
 
 
+@pytest.mark.slow
 def test_rss_watchdog_checkpoints_and_raises(tmp_path):
     """max_rss_gb below current RSS: the first save point checkpoints,
     flushes the async writer, and raises RestartForMemory."""
@@ -307,6 +314,7 @@ def test_rss_watchdog_checkpoints_and_raises(tmp_path):
     assert method2.it == method.it
 
 
+@pytest.mark.slow
 def test_rss_watchdog_reexec_argv(tmp_path, monkeypatch):
     """cli.train turns RestartForMemory into an os.execv with
     --auto_resume + --start_seed_idx (RSS-leak recovery)."""
@@ -362,6 +370,7 @@ def test_auto_watchdog_detects_axon_by_env(monkeypatch):
     assert _auto_watchdog()
 
 
+@pytest.mark.slow
 def test_mid_epoch_resume_exact_step_count(tmp_path):
     """Resume from a fractional-save_interval checkpoint: the epoch
     fast-forward skips already-consumed batches so the run ends at exactly
@@ -394,6 +403,7 @@ def test_mid_epoch_resume_exact_step_count(tmp_path):
     assert m2.it == total, (m2.it, total)
 
 
+@pytest.mark.slow
 def test_uint8_wire_batch_matches_f32(tmp_path):
     """A uint8 'img' batch (wire_uint8 datasets) is decoded to [-1, 1] f32
     ON DEVICE inside the jitted train/eval steps, with the exact
