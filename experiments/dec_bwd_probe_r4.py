@@ -105,6 +105,29 @@ def probe_dec_grad(results, dtype_name, nc):
     results[f"{tag}_fps"] = round(F / dt, 1)
 
 
+def probe_dec_fwd(results, dtype_name):
+    """Decode-only forward (the rollout/test_vp path), carry-threaded."""
+    dec = mk_dec()
+    rs = np.random.RandomState(0)
+    slots = jax.device_put(rs.randn(F, S, D).astype(np.float32))
+    params = jax.device_put(dec.init(jax.random.PRNGKey(0), slots[:2]))
+    cdt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    cparams = jax.tree.map(lambda a: a.astype(cdt), params)
+
+    @jax.jit
+    def k(s, p):
+        def one(c, _):
+            rc, _, m, _ = dec.apply(p, (s + 1e-20 * c).astype(cdt))
+            return (c + rc.astype(jnp.float32).mean()
+                    + m.astype(jnp.float32).mean()), None
+        acc, _ = jax.lax.scan(one, jnp.zeros(()), jnp.arange(4))
+        return acc
+
+    dt = timed_scalar(k, slots, cparams) / 4
+    results[f"dec_fwd_{dtype_name}_ms"] = round(dt * 1e3, 2)
+    results[f"dec_fwd_{dtype_name}_fps"] = round(F / dt, 1)
+
+
 def roofline(results):
     """Analytic MACs + activation bytes for the decode fwd+dx."""
     # per image-slot: deconv 8->16 (128->64ch), 16->32, 32->64, 64 s1, 1x1
@@ -175,8 +198,10 @@ def main():
     results = {}
     roofline(results)
     print(json.dumps(results), flush=True)
-    for dtype_name, nc in (("f32", 4), ("f32", 1), ("bf16", 1), ("bf16", 2),
-                           ("bf16", 4), ("bf16", 8)):
+    for dtype_name in ("f32", "bf16"):
+        probe_dec_fwd(results, dtype_name)
+        print(json.dumps(results), flush=True)
+    for dtype_name, nc in (("f32", 4), ("f32", 1), ("bf16", 1)):
         probe_dec_grad(results, dtype_name, nc)
         print(json.dumps(results), flush=True)
     probe_full_train(results, "f32", {})

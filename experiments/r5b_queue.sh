@@ -1,0 +1,43 @@
+#!/bin/bash
+# Round-4 follow-up queue: waits for the in-flight Physion pipeline (started
+# by r5_master_queue.sh before its driver was stopped), then runs the fixed
+# decoder-backward probe v2 (LICM-proof timing + full-step bf16 A/B),
+# synth64 regen with tracked ckpt copies, and the reference-LR stochastic
+# sweep.
+set -x
+cd /root/repo
+export PYTHONPATH=/root/repo:$PYTHONPATH
+L=experiments/logs
+echo $$ > /tmp/r5queue.pid
+trap 'rm -f /tmp/r5queue.pid' EXIT
+
+# wait for the running Physion pipeline to release the chip (max ~2.6h)
+for i in $(seq 1 320); do
+  pgrep -f "physion_synth_pipeline" > /dev/null || break
+  sleep 30
+done
+
+exec 9>/tmp/tpu.lock
+flock 9
+
+timeout 120 python -c "import jax; print(jax.devices())" || exit 9
+
+# ---- 1. decoder-backward probe v2 (carry-threaded, full-step bf16 A/B)
+timeout 3000 python experiments/dec_bwd_probe_r4.py \
+  > $L/dec_bwd_probe_r4b.log 2>&1 || echo "DEC PROBE FAILED"
+
+# ---- 2. synth64 regen; keep the tiny ckpts in a tracked dir
+timeout 10800 bash experiments/run_synth64.sh \
+  > $L/run_synth64_r5.log 2>&1 || echo "SYNTH64 FAILED"
+mkdir -p experiments/ckpts_r4/synth64
+for m in savi sf; do
+  cp experiments/out_synth64/$m/latest.ckpt.pkl \
+     experiments/ckpts_r4/synth64/$m.ckpt.pkl 2>/dev/null
+done
+
+# ---- 3. reference-LR stochastic sweep (51 epochs ~ 24k steps)
+timeout 12600 python experiments/savi_sweep_r3.py \
+  --variants sto_ref_lr1e-4 \
+  > $L/savi_sweep_lr1e-4_r4.log 2>&1 || echo "SWEEP FAILED"
+
+echo "R5B QUEUE DONE"
