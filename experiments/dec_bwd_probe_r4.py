@@ -193,6 +193,53 @@ def probe_full_train(results, tag, loss_extra):
         results["trace_dir"] = trace_dir
 
 
+def probe_savi_train(results, tag, use_bf16):
+    """SAVi train step (trainable decoder) f32 vs AMP (runtime/method.py's
+    use_fp16 semantics: f32 master params, bf16 compute cast at the loss
+    boundary)."""
+    from experiments.phase_deconv_probe import mk_savi
+
+    model = mk_savi()
+    rs = np.random.RandomState(0)
+    batch = jax.device_put(
+        {"img": rs.uniform(-1, 1, (64, 6, RES, RES, 3)).astype(np.float32)})
+    rngs = ("sample", "dropout")
+    variables = model.init(
+        {n: jax.random.PRNGKey(i) for i, n in enumerate(("params",) + rngs)},
+        batch)
+    params = jax.device_put(variables["params"])
+    tx = optax.chain(optax.clip_by_global_norm(0.05), optax.adam(1e-4))
+    opt_state = jax.device_put(tx.init(params))
+
+    def one(carry, i):
+        p, o = carry
+
+        def loss_fn(pp):
+            b = batch
+            if use_bf16:
+                pp = jax.tree.map(lambda x: x.astype(jnp.bfloat16), pp)
+                b = jax.tree.map(lambda x: x.astype(jnp.bfloat16), b)
+            losses = model.apply(
+                {"params": pp}, b, method="train_loss",
+                rngs={n: jax.random.fold_in(jax.random.PRNGKey(7 + j), i)
+                      for j, n in enumerate(rngs)})
+            return jnp.asarray(
+                sum(jnp.asarray(v) for v in losses.values()), jnp.float32)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        upd, o = tx.update(grads, o, p)
+        return (optax.apply_updates(p, upd), o), loss
+
+    @jax.jit
+    def k_steps(p, o):
+        (_, _), losses = jax.lax.scan(one, (p, o), jnp.arange(4))
+        return losses[-1]
+
+    dt = timed_scalar(k_steps, params, opt_state) / 4
+    results[f"savi_train_{tag}_ms"] = round(dt * 1e3, 1)
+    results[f"savi_train_{tag}_fps"] = round(64 * 6 / dt, 1)
+
+
 def main():
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     results = {}
@@ -209,6 +256,10 @@ def main():
     probe_full_train(results, "bf16", {"dec_recon_bf16": True})
     print(json.dumps(results), flush=True)
     probe_full_train(results, "f32_unchunked", {"dec_chunk_frames": 0})
+    print(json.dumps(results), flush=True)
+    probe_savi_train(results, "f32", False)
+    print(json.dumps(results), flush=True)
+    probe_savi_train(results, "amp_bf16", True)
     print(json.dumps(results))
 
 
