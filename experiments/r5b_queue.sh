@@ -35,6 +35,13 @@ for m in savi sf; do
      experiments/ckpts_r4/synth64/$m.ckpt.pkl 2>/dev/null
 done
 
+# ---- 2b. bf16 frozen-decoder convergence A/B (same slots + grafted
+#          decoder as the f32 run above; compare val slot/img MSE)
+timeout 3600 python -m slotformer_tpu.cli.train \
+  --params experiments/synth64_sf_bf16_params.py \
+  --ckp_path experiments/out_synth64/sf_bf16 --san_check_val_step 1 \
+  > $L/sf_bf16_ab_r4.log 2>&1 || echo "SF BF16 AB FAILED"
+
 # ---- 3. reference-LR stochastic sweep (51 epochs ~ 24k steps)
 timeout 12600 python experiments/savi_sweep_r3.py \
   --variants sto_ref_lr1e-4 \
