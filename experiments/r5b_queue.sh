@@ -48,3 +48,13 @@ timeout 12600 python experiments/savi_sweep_r3.py \
   > $L/savi_sweep_lr1e-4_r4.log 2>&1 || echo "SWEEP FAILED"
 
 echo "R5B QUEUE DONE"
+
+# ---- 4. SAVi AMP convergence A/B (appended while queue ran: bash reads
+#          sequentially, appends are safe). Same params as the f32 synth64
+#          SAVi, --fp16 turns on the trainer's bf16-compute path.
+timeout 3600 python -m slotformer_tpu.cli.train \
+  --params experiments/synth64_savi_params.py --fp16 \
+  --ckp_path experiments/out_synth64/savi_amp --san_check_val_step 1 \
+  > $L/savi_amp_ab_r4.log 2>&1 || echo "SAVI AMP AB FAILED"
+
+echo "R5B QUEUE DONE (incl. appended stages)"
