@@ -432,6 +432,7 @@ def main():
               "--threshs", "0.3", "0.4", "0.5", "0.6", "0.7"])
     print(f"[timing] test_physion_vqa {time.perf_counter() - t0:.1f}s",
           flush=True)
+    print("PIPELINE DONE", flush=True)
 
 
 if __name__ == "__main__":

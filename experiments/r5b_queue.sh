@@ -58,3 +58,11 @@ timeout 3600 python -m slotformer_tpu.cli.train \
   > $L/savi_amp_ab_r4.log 2>&1 || echo "SAVI AMP AB FAILED"
 
 echo "R5B QUEUE DONE (incl. appended stages)"
+
+# ---- 5. Physion pipeline resume (no-op if it completed; stages are
+#          skip-if-done with durable markers)
+grep -q "PIPELINE DONE" experiments/logs/physion_synth_r4.log 2>/dev/null || \
+timeout 7200 python experiments/physion_synth_pipeline.py \
+  >> experiments/logs/physion_synth_r4.log 2>&1 || echo "PHYSION RESUME FAILED"
+
+echo "R5B QUEUE DONE (all appended stages)"
