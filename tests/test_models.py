@@ -88,6 +88,23 @@ def test_phase_deconv_matches_dilated(k, s, h):
         np.testing.assert_allclose(a, b, atol=3e-4, rtol=1e-4)
 
 
+def test_phase_deconv_defaults_off(monkeypatch):
+    """SF_PHASE_DECONV unset -> the dense (input-dilated) lowering runs.
+    Pins the round-4 fix: the phase forward + dense-VJP backward measured
+    0.51x decode / 0.46x SlotFormer-train (logs/phase_deconv_probe_vjp.log)
+    and shipping it ON halved the round-3 driver bench."""
+    from slotformer_tpu.models.nn import DeconvNormAct
+
+    monkeypatch.delenv("SF_PHASE_DECONV", raising=False)
+    x = jnp.zeros((1, 4, 4, 3))
+    m = DeconvNormAct(4, kernel_size=5, stride=2)
+    p = m.init(RNG, x)
+    bound = m.bind(p)
+    assert bound._use_phase(x) is False
+    monkeypatch.setenv("SF_PHASE_DECONV", "1")
+    assert bound._use_phase(x) is True
+
+
 # ------------------------------------------------------------ slot attention
 def manual_slot_attention(params, inputs, slots, num_iters=2, eps=1e-6):
     """Reference math in pure numpy (savi.py:56-102)."""
