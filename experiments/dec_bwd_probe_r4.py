@@ -129,17 +129,30 @@ def probe_dec_fwd(results, dtype_name):
 
 
 def roofline(results):
-    """Analytic MACs + activation bytes for the decode fwd+dx."""
-    # per image-slot: deconv 8->16 (128->64ch), 16->32, 32->64, 64 s1, 1x1
-    layers = [(16, 128, 64), (32, 64, 64), (64, 64, 64), (64, 64, 64)]
-    macs = sum(h * h * 25 * ci * co for h, ci, co in layers) + RES * RES * 64 * 4
-    act_elems = sum(h * h * co for h, _, co in layers)  # saved pre-relu
+    """Analytic MACs + activation bytes for the decode fwd+dx.
+
+    Two FLOP counts: 'naive' multiplies the k^2 taps over the s-dilated
+    input (what a dense lowering pays if zeros are not skipped);
+    'algorithmic' counts only the ~k^2/s^2 nonzero taps per output of a
+    stride-s transposed conv (what the phase decomposition / an ideal
+    lowering pays). Real XLA sits between the two.
+    """
+    # per image-slot: deconv 8->16 (128->64ch, s2), 16->32 (s2), 32->64
+    # (s2), 64 (s1), then the 1x1 out conv
+    layers = [(16, 128, 64, 2), (32, 64, 64, 2), (64, 64, 64, 2),
+              (64, 64, 64, 1)]
+    naive = sum(h * h * 25 * ci * co for h, ci, co, _ in layers)
+    algo = sum(h * h * (25 // (s * s) if s > 1 else 25) * ci * co
+               for h, ci, co, s in layers)
+    out_macs = RES * RES * 64 * 4
+    act_elems = sum(h * h * co for h, _, co, _ in layers)  # saved pre-relu
     n = F * S
-    fwd_tf = 2 * macs * n / 1e12
-    results["roofline_fwd_tflop"] = round(fwd_tf, 2)
-    results["roofline_fwd_dx_tflop"] = round(2 * fwd_tf, 2)
-    results["roofline_compute_floor_ms_at_peak"] = round(
-        2 * fwd_tf / 197 * 1e3, 1)
+    for name, macs in (("naive", naive + out_macs), ("algo", algo + out_macs)):
+        fwd_tf = 2 * macs * n / 1e12
+        results[f"roofline_fwd_{name}_tflop"] = round(fwd_tf, 2)
+        results[f"roofline_fwd_dx_{name}_tflop"] = round(2 * fwd_tf, 2)
+        results[f"roofline_{name}_floor_ms_at_peak"] = round(
+            2 * fwd_tf / 197 * 1e3, 1)
     for name, bytes_per in (("f32", 4), ("bf16", 2)):
         gb = act_elems * n * bytes_per / 1e9
         results[f"roofline_act_{name}_gb"] = round(gb, 2)
