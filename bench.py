@@ -306,6 +306,40 @@ def main() -> None:
     print(json.dumps(line))
 
 
+def _acquire_tpu_lock():
+    """Best-effort exclusive chip lock shared with the experiment queues.
+
+    The long-running hardware queues (experiments/r5b_queue.sh etc.) hold
+    ``flock /tmp/tpu.lock`` while training; two concurrent clients on the
+    tunneled chip contend and have been observed to wedge the relay for
+    30+ minutes. Wait up to SF_TPU_LOCK_WAIT seconds (default 900) for the
+    lock, then proceed anyway (a contended measurement beats no artifact) —
+    the fd is returned so it stays held (and auto-releases on close) when
+    acquisition worked. SF_TPU_LOCK overrides the lock path (tests point it
+    at a tmp file so they never wait on a busy real chip).
+    """
+    import fcntl
+    import os
+
+    path = os.environ.get("SF_TPU_LOCK", "/tmp/tpu.lock")
+    max_wait_s = float(os.environ.get("SF_TPU_LOCK_WAIT", "900"))
+    try:
+        fd = open(path, "w")
+    except OSError:
+        return None
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return fd
+        except OSError:
+            if time.time() >= deadline:
+                _stage(f"{path} still held after "
+                       f"{max_wait_s:.0f}s; benching anyway (contended)")
+                return fd  # keep fd open; we just don't hold the lock
+            time.sleep(10)
+
+
 def _supervised(argv) -> int:
     """Re-run this script as a child with a hard timeout, retrying.
 
@@ -316,21 +350,26 @@ def _supervised(argv) -> int:
     """
     import subprocess
 
-    for attempt in range(3):
-        try:
-            rc = subprocess.run(
-                [sys.executable, __file__, "--inner"] + argv,
-                timeout=1200,
-            ).returncode
-        except subprocess.TimeoutExpired:
-            _stage(f"attempt {attempt + 1} timed out (wedged tunnel?); "
-                   "retrying" if attempt < 2 else "attempt 3 timed out")
-            continue
-        if rc == 0:
-            return 0
-        _stage(f"attempt {attempt + 1} exited rc={rc}; retrying")
-        time.sleep(60)
-    return 1
+    lock = _acquire_tpu_lock()
+    try:
+        for attempt in range(3):
+            try:
+                rc = subprocess.run(
+                    [sys.executable, __file__, "--inner"] + argv,
+                    timeout=1200,
+                ).returncode
+            except subprocess.TimeoutExpired:
+                _stage(f"attempt {attempt + 1} timed out (wedged tunnel?); "
+                       "retrying" if attempt < 2 else "attempt 3 timed out")
+                continue
+            if rc == 0:
+                return 0
+            _stage(f"attempt {attempt + 1} exited rc={rc}; retrying")
+            time.sleep(60)
+        return 1
+    finally:
+        if lock is not None:
+            lock.close()  # releases the flock if held
 
 
 if __name__ == "__main__":

@@ -8,6 +8,10 @@ are exercised without TPU hardware. Must run before jax is imported.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU platform
+# bench.py's supervisor serializes on the real chip lock; tests must never
+# wait on it (the experiment queues hold it for hours while training)
+os.environ["SF_TPU_LOCK"] = "/tmp/tpu_test.lock"
+os.environ["SF_TPU_LOCK_WAIT"] = "5"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
