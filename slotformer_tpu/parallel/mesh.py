@@ -3,10 +3,13 @@
 TPU-native replacement for the reference's NCCL DDP (SURVEY.md §2.6):
 training is a single pjit program over an ICI mesh with axes
 ``('data', 'model')``. Batch is sharded on ``data``; params/opt state are
-replicated (the models are <=~30M params so no TP is needed — the ``model``
-axis is kept dormant so a TP dimension can be added without API changes).
-Gradient all-reduce is inserted by XLA from the sharding annotations (the
-jit-of-sharded-batch formulation), riding ICI instead of NCCL.
+replicated by default (the models are <=~30M params so DP alone recovers
+the reference's parallelism), and ``tp.shard_params`` optionally
+column/row-shards the transformer kernels over ``model``
+(Megatron-style; ``tp_size`` in the trainer params). All collectives —
+gradient all-reduce on ``data``, activation reductions on ``model`` — are
+inserted by XLA from the sharding annotations (the jit-of-sharded-inputs
+formulation), riding ICI instead of NCCL.
 """
 
 from __future__ import annotations

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..parallel import get_mesh, replicate, shard_batch
+from ..parallel import get_mesh, replicate, shard_batch, shard_params
 from .checkpoint import load_checkpoint, save_checkpoint
 from .meters import MeterBank
 from .schedules import build_optimizer, cosine_annealing_warmup
@@ -111,7 +111,12 @@ class BaseMethod:
         self.ckp_path = ckp_path
         self.use_fp16 = use_fp16
         self.local_rank = 0
-        self.mesh = mesh if mesh is not None else get_mesh()
+        # tp_size > 1 widens the mesh's 'model' axis: Megatron-style param
+        # sharding (parallel/tp.py) with XLA-derived collectives; always
+        # shape-safe (non-divisible dims stay replicated)
+        self.mesh = mesh if mesh is not None else get_mesh(
+            n_model=int(params.get("tp_size", 1))
+        )
         self.seed = int(params.get("seed", seed))
 
         self.train_loader = datamodule.train_loader
@@ -218,11 +223,18 @@ class BaseMethod:
         variables = self.model.init(self._init_rngs(), sample_batch)
         params = variables["params"]
         params = self._post_init_params(params)
-        opt_state = self.optimizer.init(params)
+        # place params first (TP shards transformer kernels on the model
+        # axis; replicated when the axis is 1-wide), then place the opt
+        # state with the SAME rules: moment leaves sit at `...mu/<param
+        # path>` so the $-anchored suffix regexes match them too (GSPMD
+        # does NOT propagate input shardings into tx.init's zeros — they
+        # are value-independent constants, verified on the 8-dev mesh)
+        params = shard_params(self.mesh, params)
+        opt_state = shard_params(self.mesh, jax.jit(self.optimizer.init)(params))
         rng = jax.random.PRNGKey(self.seed + 1)
         self.state = {
-            "params": replicate(self.mesh, params),
-            "opt_state": replicate(self.mesh, opt_state),
+            "params": params,
+            "opt_state": opt_state,
             "rng": rng,
         }
 
@@ -605,21 +617,28 @@ class BaseMethod:
         self._join_ckp_writer()
         ck = load_checkpoint(path)
         self.it = int(ck.get("step", 0))
-        params = ck["state_dict"]
+        params = shard_params(self.mesh, ck["state_dict"])
+        # template whose leaves carry the correct TP layouts (shard_params
+        # re-applied: moment leaves match the same $-anchored path rules as
+        # the params they mirror); restored leaves are placed onto the
+        # template's layout leaf-by-leaf
+        tmpl = shard_params(self.mesh, jax.jit(self.optimizer.init)(params))
         opt_state = ck.get("opt_state", None)
         if opt_state is None:
-            opt_state = self.optimizer.init(params)
+            opt_state = tmpl
         else:
-            # restore pytree structure from the template
-            tmpl = self.optimizer.init(params)
             opt_state = jax.tree.unflatten(
                 jax.tree.structure(tmpl), jax.tree.leaves(opt_state)
+            )
+            opt_state = jax.tree.map(
+                lambda t, x: jax.device_put(jnp.asarray(x), t.sharding),
+                tmpl, opt_state,
             )
         rng = ck.get("rng", None)
         rng = jnp.asarray(rng) if rng is not None else jax.random.PRNGKey(self.seed + 1)
         self.state = {
-            "params": replicate(self.mesh, params),
-            "opt_state": replicate(self.mesh, opt_state),
+            "params": params,
+            "opt_state": opt_state,
             "rng": rng,
         }
 

@@ -10,8 +10,10 @@ from slotformer_tpu.parallel import (
     batch_sharding,
     get_mesh,
     pad_batch_to,
+    param_specs,
     replicate,
     shard_batch,
+    shard_params,
 )
 
 
@@ -50,6 +52,56 @@ def test_replicate_params():
     params = {"w": np.ones((4, 4), np.float32)}
     rp = replicate(mesh, params)
     assert rp["w"].sharding.is_fully_replicated
+
+
+def test_tp_param_specs_rules():
+    """Megatron rules: col-shard linear1/QKV, row-shard linear2/out;
+    non-divisible dims and unmatched leaves stay replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    params = {
+        "transformer_encoder": {
+            "layer_0": {
+                "linear1": {"kernel": np.zeros((8, 32)), "bias": np.zeros((32,))},
+                "linear2": {"kernel": np.zeros((32, 8)), "bias": np.zeros((8,))},
+                "self_attn": {
+                    "query": {"kernel": np.zeros((8, 4, 2)), "bias": np.zeros((4, 2))},
+                    "out": {"kernel": np.zeros((4, 2, 8)), "bias": np.zeros((8,))},
+                },
+                "norm1": {"scale": np.zeros((8,)), "bias": np.zeros((8,))},
+            }
+        },
+        "odd": {"linear1": {"kernel": np.zeros((8, 33))}},  # 33 % 2 != 0
+    }
+    specs = param_specs(params, n_model=2)
+    layer = specs["transformer_encoder"]["layer_0"]
+    assert layer["linear1"]["kernel"] == P(None, "model")
+    assert layer["linear1"]["bias"] == P("model")
+    assert layer["linear2"]["kernel"] == P("model", None)
+    assert layer["linear2"]["bias"] == P()  # row-parallel bias replicated
+    assert layer["self_attn"]["query"]["kernel"] == P(None, "model", None)
+    assert layer["self_attn"]["query"]["bias"] == P("model", None)
+    assert layer["self_attn"]["out"]["kernel"] == P("model", None, None)
+    assert layer["norm1"]["scale"] == P()
+    assert specs["odd"]["linear1"]["kernel"] == P()  # non-divisible fallback
+    # n_model=1: everything replicated
+    flat = jax.tree.leaves(param_specs(params, n_model=1))
+    from jax.sharding import PartitionSpec
+    assert all(s == PartitionSpec() for s in flat)
+
+
+def test_tp_shard_params_physical():
+    """shard_params must physically split matched kernels over 'model'."""
+    mesh = get_mesh(n_model=2)
+    params = {
+        "linear1": {"kernel": np.arange(8 * 32, dtype=np.float32).reshape(8, 32)},
+        "norm": {"scale": np.ones((8,), np.float32)},
+    }
+    placed = shard_params(mesh, params)
+    k = placed["linear1"]["kernel"]
+    assert k.addressable_shards[0].data.shape == (8, 16)  # split over 2
+    assert placed["norm"]["scale"].sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(k), params["linear1"]["kernel"])
 
 
 def test_pad_batch_to():
@@ -109,8 +161,11 @@ def test_single_vs_multi_device_train_equivalence():
         return optax.apply_updates(params, updates), opt_state, loss
 
     def run(mesh, n_steps=3):
-        params = replicate(mesh, variables["params"])
-        opt_state = replicate(mesh, tx.init(jax.device_get(params)))
+        # shard_params = TP placement on the 4x2 mesh, plain replication on
+        # the 1-device mesh; the same suffix rules place the opt-state
+        # moments (mirrors runtime/method.py)
+        params = shard_params(mesh, variables["params"])
+        opt_state = shard_params(mesh, jax.jit(tx.init)(params))
         sbatch = shard_batch(mesh, batch)
         losses = []
         for i in range(n_steps):
