@@ -58,6 +58,11 @@ def main(argv=None) -> None:
     parser.add_argument("--lpips", default="", help="LPIPS weights file")
     parser.add_argument("--vis_dir", default="vis")
     parser.add_argument("--max_batches", type=int, default=-1)
+    parser.add_argument(
+        "--wire", choices=("uint8", "f32"), default="uint8",
+        help="host->device format for GT images (uint8 = 4x smaller "
+        "transfer, quantizes float-rendered GT by <=1/255; real video "
+        "datasets are uint8-sourced so it is lossless for them)")
     args = parser.parse_args(argv)
 
     import jax
@@ -132,10 +137,11 @@ def main(argv=None) -> None:
     only_vis = args.save_num > 0
 
     # eval wall-clock accounting (VERDICT r2 #6): total includes data
-    # loading + host vis; fwd = jitted rollout+decode (np.asarray = device
-    # sync); metrics = pred_eval_step (jitted batch metrics + host
-    # Hungarian/bbox matching). First batch reported separately — it pays
-    # the jit compiles.
+    # loading + host vis; fwd = jitted rollout+decode (synced by a
+    # 1-element fetch — predictions themselves stay on device); metrics =
+    # pred_eval_step (jitted batch metrics + host Hungarian/bbox matching,
+    # GT shipped as uint8). First batch reported separately — it pays the
+    # jit compiles.
     t_fwd = t_metrics = t_first = 0.0
     eval_frames = 0
     t_start = time.perf_counter()
@@ -146,17 +152,26 @@ def main(argv=None) -> None:
         db = {k: v for k, v in batch.items() if hasattr(v, "shape")}
         gt = db["img"][:, history_len:]
         B = gt.shape[0]
-        gt_mask = db["mask"][:, history_len:].astype(np.int64) if "mask" in db else None
+        if args.wire == "uint8":
+            # 4x smaller host->device payload; normalized back to [-1, 1]
+            # on device inside pred_eval_step
+            gt = ((gt + 1.0) * 127.5).round().clip(0, 255).astype(np.uint8)
+        gt_mask = db["mask"][:, history_len:].astype(np.int32) if "mask" in db else None
         gt_bbox = db["bbox"][:, history_len:] if "bbox" in db else None
         gt_pres = (
             db["pres_mask"][:, history_len:].astype(bool) if "pres_mask" in db else None
         )
 
+        # ship ONLY what the rollout consumes (slots, precomputed tokens) —
+        # GT images/masks are metric inputs, not model inputs; through the
+        # payload-proportional tunnel the full batch was the bottleneck
+        fwd_batch = {k: db[k] for k in ("slots", "token_id") if k in db}
         t0 = time.perf_counter()
-        pred, pred_mask, pred_bbox = forward(params_tree, db)
-        pred = np.asarray(pred)
-        pred_mask = np.asarray(pred_mask)
-        pred_bbox = np.asarray(pred_bbox)
+        pred, pred_mask, pred_bbox = forward(params_tree, fwd_batch)
+        # predictions STAY on device (pred_eval_step consumes them there);
+        # sync for honest fwd timing by fetching one element —
+        # block_until_ready does not synchronize on the tunneled platform
+        np.asarray(jax.device_get(pred_bbox[0, 0, 0, 0]))
         t1 = time.perf_counter()
 
         traj = eval_traj and gt_mask is not None
@@ -193,18 +208,24 @@ def main(argv=None) -> None:
             eval_frames += B * rollout_len
 
         flag = False
+        pred_h = pred_mask_h = pred_bbox_h = None
         for i in range(B):
             if len(save_videos) >= video_num:
                 flag = only_vis
                 break
+            if pred_h is None:
+                # host copies only for batches that contribute vis videos
+                pred_h = np.asarray(pred)
+                pred_mask_h = np.asarray(pred_mask)
+                pred_bbox_h = np.asarray(pred_bbox)
             gt_video = db["img"][i]
-            pred_video = np.concatenate([gt_video[:history_len], pred[i]], 0)
+            pred_video = np.concatenate([gt_video[:history_len], pred_h[i]], 0)
             save_videos.append(make_video(gt_video, pred_video, history_len))
             if not traj:
                 continue
             gmv = colorize_mask(db["mask"][i])
             pmv = colorize_mask(
-                np.concatenate([db["mask"][i][:history_len], pred_mask[i]], 0)
+                np.concatenate([db["mask"][i][:history_len], pred_mask_h[i]], 0)
             )
             save_mask_videos.append(
                 np.concatenate([gmv, pmv], axis=1)
@@ -217,7 +238,7 @@ def main(argv=None) -> None:
                     (gt_b.shape[0], num_slots - gt_b.shape[1], 4), np.float32
                 )
                 gt_b = np.concatenate([gt_b, fill], axis=1)
-            pred_bbox_all = np.concatenate([gt_b, pred_bbox[i]], 0)
+            pred_bbox_all = np.concatenate([gt_b, pred_bbox_h[i]], 0)
             pd_bbox_vid = batch_draw_bbox(pred_video, pred_bbox_all)
             save_bbox_videos.append(make_video(gt_bbox_vid, pd_bbox_vid, history_len))
         if flag:

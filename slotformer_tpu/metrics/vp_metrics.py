@@ -350,12 +350,19 @@ def pred_eval_step(
 ) -> Dict[str, List[float]]:
     """Per-timestep metric dict (reference vp_utils.py:258-344).
 
-    gt/pred: [B, T, H, W, 3] in [-1, 1] (NHWC — reference uses NCHW).
-    masks: [B, T, H, W] int. pres_mask [B, T, N]; bboxes [B, T, N/M, 4].
+    gt/pred: [B, T, H, W, 3] in [-1, 1] (NHWC — reference uses NCHW); gt
+    may instead arrive as uint8 [0, 255] (the test_vp wire format — 4x
+    smaller host->device transfer through the tunneled chip) and is
+    normalized on device. masks: [B, T, H, W] int (any int dtype).
+    pres_mask [B, T, N]; bboxes [B, T, N/M, 4]. Device arrays are accepted
+    everywhere a host array is (pred stays device-resident in cli/test_vp —
+    no host round-trip between the rollout and the metrics).
     ``lpips_fn(x, y) -> [B]`` or None (metric reported as 0 when the LPIPS
     weights are unavailable — see metrics.lpips).
     """
     gt = jnp.asarray(gt)
+    if gt.dtype == jnp.uint8:
+        gt = gt.astype(jnp.float32) / 127.5 - 1.0
     pred = jnp.asarray(pred)
     assert gt.ndim == pred.ndim == 5 and gt.shape == pred.shape
     assert gt.shape[-1] == 3
@@ -380,17 +387,25 @@ def pred_eval_step(
     all_ari, all_fari, all_miou, all_ap, all_ar = [], [], [], [], []
     if eval_traj:
         assert gt_mask is not None and pred_mask is not None
-        gt_mask = np.asarray(gt_mask)
-        pred_mask = np.asarray(pred_mask)
-        nc = num_classes or int(max(gt_mask.max(), pred_mask.max()) + 1)
+        # only materialize the masks on host when nc must be derived from
+        # them — with num_classes given (the recompile-safe path) they go
+        # straight to the device table program
+        nc = num_classes or int(
+            max(np.asarray(gt_mask).max(), np.asarray(pred_mask).max()) + 1
+        )
         B = gt_mask.shape[0]
         ari_t, fari_t, tables, present = _traj_tables_all_t(
-            jnp.asarray(gt_mask), jnp.asarray(pred_mask.astype(np.int32)), nc
+            jnp.asarray(gt_mask).astype(jnp.int32),
+            jnp.asarray(pred_mask).astype(jnp.int32), nc
         )
         all_ari = np.asarray(ari_t).astype(float).tolist()
         all_fari = np.asarray(fari_t).astype(float).tolist()
         tables = np.asarray(tables)
         present = np.asarray(present)
+        # fetch once, not per-t (pred_bbox may be a device array)
+        gt_pres_mask = np.asarray(gt_pres_mask)
+        gt_bbox = np.asarray(gt_bbox)
+        pred_bbox = np.asarray(pred_bbox)
         for t in range(T):
             # tiny host Hungarians (<=C x C) over precomputed device tables
             all_miou.append(float(np.mean([
@@ -398,9 +413,7 @@ def pred_eval_step(
                 for i in range(B)
             ])))
             ap, ar = batch_bbox_precision_recall(
-                np.asarray(gt_pres_mask)[:, t],
-                np.asarray(gt_bbox)[:, t],
-                np.asarray(pred_bbox)[:, t],
+                gt_pres_mask[:, t], gt_bbox[:, t], pred_bbox[:, t],
             )
             all_ap.append(ap)
             all_ar.append(ar)

@@ -182,3 +182,31 @@ def test_pred_eval_step_end_to_end():
     assert all(a == pytest.approx(1.0) for a in out["ari"])  # identical masks
     assert all(m == pytest.approx(1.0) for m in out["miou"])
     assert all(p > 20 for p in out["psnr"])
+
+
+def test_pred_eval_step_uint8_wire_and_device_pred():
+    """The uint8 GT wire format + device-resident predictions (the
+    cli/test_vp hot path) must give the same metrics as host-f32 inputs."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    # gt originates from uint8 pixels (as real video data does), so the
+    # uint8 wire roundtrip is exactly lossless
+    gt_u8 = rng.integers(0, 256, (2, 3, 16, 16, 3), dtype=np.uint8)
+    gt = gt_u8.astype(np.float32) / 127.5 - 1.0
+    pred = np.clip(gt + 0.05 * rng.normal(size=gt.shape).astype(np.float32), -1, 1)
+    gt_mask = rng.integers(0, 3, (2, 3, 16, 16)).astype(np.int64)
+    pred_mask = gt_mask.copy()
+    pres = np.ones((2, 3, 2), bool)
+    gt_bbox = np.tile(np.array([0, 0, 4, 4], np.float32), (2, 3, 2, 1))
+
+    ref = pred_eval_step(gt, pred, None, gt_mask, pred_mask, pres,
+                         gt_bbox, gt_bbox, eval_traj=True, num_classes=4)
+    out = pred_eval_step(
+        gt_u8, jnp.asarray(pred), None,
+        gt_mask.astype(np.int32), jnp.asarray(pred_mask), pres,
+        gt_bbox, jnp.asarray(gt_bbox), eval_traj=True, num_classes=4,
+    )
+    for k in ref:
+        np.testing.assert_allclose(out[k], ref[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
