@@ -66,3 +66,25 @@ timeout 7200 python experiments/physion_synth_pipeline.py \
   >> experiments/logs/physion_synth_r4.log 2>&1 || echo "PHYSION RESUME FAILED"
 
 echo "R5B QUEUE DONE (all appended stages)"
+
+# ---- 6. timed test_vp rerun with the device-resident eval loop
+#         (minimal fwd payload + uint8 GT wire vs f32 A/B); val128 slots
+#         must be re-extracted: the synth64 regen replaced the SAVi ckpt
+timeout 1800 python -m slotformer_tpu.cli.extract_slots \
+  --params experiments/synth64_savi_val128_params.py \
+  --weight experiments/out_synth64/savi/latest.ckpt.pkl \
+  --save_path experiments/out_synth64/synth_slots_val128.pkl \
+  --batch_size 16 --chunk_len 20 --subset val \
+  > $L/extract_val128_r5.log 2>&1 || echo "EXTRACT VAL128 FAILED"
+timeout 3000 python -m slotformer_tpu.cli.test_vp \
+  --params experiments/synth64_sf_eval128_params.py \
+  --weight experiments/out_synth64/sf/latest.ckpt.pkl \
+  --batch_size 8 --vis_dir experiments/out_synth64/vis_r5 \
+  > $L/test_vp_timing_r5.log 2>&1 || echo "TEST_VP U8 FAILED"
+timeout 3000 python -m slotformer_tpu.cli.test_vp \
+  --params experiments/synth64_sf_eval128_params.py \
+  --weight experiments/out_synth64/sf/latest.ckpt.pkl \
+  --batch_size 8 --wire f32 --vis_dir experiments/out_synth64/vis_r5_f32 \
+  > $L/test_vp_timing_r5_f32.log 2>&1 || echo "TEST_VP F32 FAILED"
+
+echo "R5B QUEUE DONE (incl. test_vp timing rerun)"
