@@ -88,3 +88,12 @@ timeout 3000 python -m slotformer_tpu.cli.test_vp \
   > $L/test_vp_timing_r5_f32.log 2>&1 || echo "TEST_VP F32 FAILED"
 
 echo "R5B QUEUE DONE (incl. test_vp timing rerun)"
+
+# ---- 7. depth-to-space deconv A/B (SF_PHASE_DECONV=2): one s^2*co-channel
+#         conv + depth_to_space instead of XLA's input-dilated lowering;
+#         decision input for the default flip (committed default follows
+#         the measurement)
+timeout 3000 python experiments/dts_deconv_probe.py \
+  > $L/dts_deconv_probe_r4.log 2>&1 || echo "DTS PROBE FAILED"
+
+echo "R5B QUEUE DONE (incl. dts probe)"

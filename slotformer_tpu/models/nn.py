@@ -169,6 +169,62 @@ def _deconv_bwd(k, s, pad_lo, res, g):
 _deconv_phase_fwd_dense_bwd.defvjp(_deconv_fwd, _deconv_bwd)
 
 
+def _dts_conv_transpose(
+    x: jnp.ndarray, kernel: jnp.ndarray, k: int, s: int, pad_lo: int
+) -> jnp.ndarray:
+    """The same transposed conv as ONE ``ceil(k/s)``-tap regular conv with
+    ``s*s*out`` output channels, followed by depth-to-space.
+
+    Improves on :func:`_phase_conv_transpose` in both dimensions that made
+    it lose on hardware: a single conv with s^2-wider output channels
+    (k=5/s=2 decoder: 3x3x128->256 — full MXU lanes instead of 4 separate
+    64-channel convs), and NO custom_vjp barrier — plain AD differentiates
+    through it, and the backward wrt x is an s=1 transposed conv (no
+    input-dilation waste anywhere). Per s=2 output pixel this pays 9/25 of
+    the naive dilated lowering's MACs (optimal is 25/4).
+
+    Derivation: output ``o = s*i + a`` reads ``x[i + m + e_a]`` with weight
+    ``wf[t0_a + m*s]`` (``t0_a = (pad_lo - a) % s``, ``e_a = (a + t0_a -
+    pad_lo)/s``); all phases' taps fit a common window of ``k' =
+    max_a(e_a + n_a) - min_a(e_a)`` input pixels, so zero-padding each
+    phase's taps into position gives one weight ``W'[k', k', cin,
+    (a*s+b)*co + c]`` and ``y = depth_to_space(conv(x, W'))``. Exactness
+    (float reassociation only) is pinned by
+    tests/test_models.py::test_phase_deconv_matches_dilated[mode 2].
+    """
+    wf = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2))  # [k, k, in, out]
+    B, H, W, ci = x.shape
+    co = kernel.shape[2]
+
+    def taps(a: int):
+        t0 = (pad_lo - a) % s
+        n = len(range(t0, k, s))
+        e = (a + t0 - pad_lo) // s  # exact: a + t0 - pad_lo is a multiple of s
+        return t0, n, e
+
+    infos = [taps(a) for a in range(s)]
+    lo = -min(e for _, _, e in infos)
+    kp = max(e + n for _, n, e in infos) + lo
+
+    wp = jnp.zeros((kp, kp, ci, s * s * co), wf.dtype)
+    for a, (t0a, na, ea) in enumerate(infos):
+        ua = ea + lo
+        for b, (t0b, nb, eb) in enumerate(infos):
+            ub = eb + lo
+            blk = wf[t0a::s, t0b::s]  # [na, nb, ci, co]
+            wp = wp.at[
+                ua:ua + na, ub:ub + nb, :, (a * s + b) * co:(a * s + b + 1) * co
+            ].set(blk)
+
+    y = jax.lax.conv_general_dilated(
+        x, wp, window_strides=(1, 1),
+        padding=((lo, kp - 1 - lo), (lo, kp - 1 - lo)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y.reshape(B, H, W, s, s, co).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, s * H, s * W, co)
+
+
 class DeconvNormAct(nn.Module):
     """Transposed Conv2D (+ norm/act), NHWC.
 
@@ -184,15 +240,16 @@ class DeconvNormAct(nn.Module):
     kernel, (3, 2) pads at k=5/s=2) is a DIFFERENT function; measured
     max-abs output diff ~1.3 on random weights.
 
-    ``phase``: compute the stride>1 transposed conv FORWARD as ``s*s``
-    phase convs over the undilated input (see ``_phase_conv_transpose``)
-    while the BACKWARD stays the dense lowering's exact VJP via custom_vjp.
-    Identical parameters; gradients bitwise-equal to the dense path.
-    ``None`` resolves from env ``SF_PHASE_DECONV`` (**default OFF**): the
-    post-custom_vjp probe measured the phase path at 0.51x decode / 0.46x
-    SlotFormer-train (experiments/logs/phase_deconv_probe_vjp.log) — the
-    earlier 1.09x forward-only win does not survive once the dense VJP is
-    threaded through. Kept behind ``SF_PHASE_DECONV=1`` for A/B probes.
+    ``phase`` (0/False = dense, 1/True = 4-conv phase decomposition with a
+    dense-VJP custom_vjp, 2 = single-conv depth-to-space decomposition,
+    plain AD — see ``_dts_conv_transpose``). ``None`` resolves from env
+    ``SF_PHASE_DECONV`` (**default OFF = 0**): mode 1 measured 0.51x
+    decode / 0.46x SlotFormer-train post-custom_vjp
+    (experiments/logs/phase_deconv_probe_vjp.log) — the earlier 1.09x
+    forward-only win did not survive the custom_vjp fusion barrier. Mode 2
+    removes both of mode 1's losses (one s^2*co-channel conv instead of 4,
+    no custom_vjp); it stays opt-in until hardware-measured (round-3
+    lesson: the committed default follows the measurement).
     """
 
     out_channels: int
@@ -200,7 +257,7 @@ class DeconvNormAct(nn.Module):
     stride: int = 2
     norm: str = ""
     act: str = "relu"
-    phase: Optional[bool] = None
+    phase: Optional[int] = None  # None=env, 0=dense, 1=phase, 2=dts
 
     def setup(self):
         k, s = self.kernel_size, self.stride
@@ -221,21 +278,27 @@ class DeconvNormAct(nn.Module):
         elif self.norm:
             raise NotImplementedError(f"norm {self.norm}")
 
-    def _use_phase(self, x: jnp.ndarray) -> bool:
+    def _phase_mode(self, x: jnp.ndarray) -> int:
         if self.stride == 1 or self.is_initializing():
-            return False  # s=1 has no dilation waste; init creates params
+            return 0  # s=1 has no dilation waste; init creates params
         if self.kernel_size % 2 == 0:
-            return False  # even k: torch output is s*H-1, not the phase s*H
+            return 0  # even k: torch output is s*H-1, not the phase s*H
         if x.dtype != jnp.float32:
-            return False  # keep the measured-fast path for f32 only
+            return 0  # keep the measured-fast path for f32 only
         if self.phase is not None:
-            return self.phase
+            return int(self.phase)
         import os
 
-        return os.environ.get("SF_PHASE_DECONV", "0") == "1"
+        return int(os.environ.get("SF_PHASE_DECONV", "0") or 0)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self._use_phase(x):
+        mode = self._phase_mode(x)
+        if mode == 2:
+            p = self._ct.variables["params"]
+            x = _dts_conv_transpose(
+                x, p["kernel"], self.kernel_size, self.stride, self._pad_lo
+            ) + p["bias"]
+        elif mode == 1:
             p = self._ct.variables["params"]
             x = _deconv_phase_fwd_dense_bwd(
                 x, p["kernel"], self.kernel_size, self.stride, self._pad_lo

@@ -54,10 +54,13 @@ def tiny_slotformer(use_img=False, history=3, rollout=4):
 
 # ------------------------------------------------------------ phase deconv
 # (5,1): s=1 fallback; (4,2): even-k fallback (torch output is s*H-1 there)
-@pytest.mark.parametrize("k,s,h", [(5, 2, 8), (3, 2, 5), (5, 1, 6), (4, 2, 7)])
+@pytest.mark.parametrize("mode", [1, 2])
+@pytest.mark.parametrize("k,s,h", [(5, 2, 8), (3, 2, 5), (5, 1, 6), (4, 2, 7),
+                                   (5, 3, 6), (7, 2, 5)])
 @pytest.mark.slow
-def test_phase_deconv_matches_dilated(k, s, h):
-    """The s*s-phase decomposition of the transposed conv is the same
+def test_phase_deconv_matches_dilated(k, s, h, mode):
+    """The phase decompositions of the transposed conv (mode 1 = s*s
+    separate convs, mode 2 = one conv + depth-to-space) are the same
     function as XLA's input-dilated lowering (forward AND backward), with
     an identical parameter tree."""
     from slotformer_tpu.models.nn import DeconvNormAct
@@ -65,7 +68,7 @@ def test_phase_deconv_matches_dilated(k, s, h):
     rng = jax.random.PRNGKey(3)
     x = jax.random.normal(rng, (2, h, h, 6), jnp.float32)
     dense = DeconvNormAct(5, kernel_size=k, stride=s, act="", phase=False)
-    phased = DeconvNormAct(5, kernel_size=k, stride=s, act="", phase=True)
+    phased = DeconvNormAct(5, kernel_size=k, stride=s, act="", phase=mode)
     params = dense.init(rng, x)
     assert jax.tree.structure(params) == jax.tree.structure(
         phased.init(rng, x)
