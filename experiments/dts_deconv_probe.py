@@ -118,14 +118,63 @@ def probe_train(tag, phase):
     return dt
 
 
+def probe_savi_train(tag, phase):
+    """SAVi train step — TRAINABLE decoder, so dW flows through the DTS
+    weight-packing scatter too (mode 1 lost this at 0.87x)."""
+    import os
+
+    os.environ["SF_PHASE_DECONV"] = str(phase)
+    from experiments.phase_deconv_probe import mk_savi
+
+    model = mk_savi()
+    rs = np.random.RandomState(0)
+    batch = jax.device_put(
+        {"img": rs.uniform(-1, 1, (64, 6, RES, RES, 3)).astype(np.float32)})
+    rngs = ("sample", "dropout")
+    variables = model.init(
+        {n: jax.random.PRNGKey(i) for i, n in enumerate(("params",) + rngs)},
+        batch)
+    params = jax.device_put(variables["params"])
+    tx = optax.chain(optax.clip_by_global_norm(0.05), optax.adam(1e-4))
+    opt_state = jax.device_put(tx.init(params))
+
+    def one(carry, i):
+        p, o = carry
+
+        def loss_fn(pp):
+            losses = model.apply(
+                {"params": pp}, batch, method="train_loss",
+                rngs={n: jax.random.fold_in(jax.random.PRNGKey(7 + j), i)
+                      for j, n in enumerate(rngs)})
+            return jnp.asarray(
+                sum(jnp.asarray(v) for v in losses.values()), jnp.float32)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        upd, o = tx.update(grads, o, p)
+        return (optax.apply_updates(p, upd), o), loss
+
+    @jax.jit
+    def k_steps(p, o):
+        (_, _), losses = jax.lax.scan(one, (p, o), jnp.arange(4))
+        return losses[-1]
+
+    dt = timed_scalar(k_steps, params, opt_state) / 4
+    emit(**{f"savi_train_{tag}_ms": round(dt * 1e3, 1),
+            f"savi_train_{tag}_fps": round(64 * 6 / dt, 1)})
+    return dt
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     d_dense = probe_decode("dense", 0)
     d_dts = probe_decode("dts", 2)
     t_dense = probe_train("dense", 0)
     t_dts = probe_train("dts", 2)
+    s_dense = probe_savi_train("dense", 0)
+    s_dts = probe_savi_train("dts", 2)
     emit(decode_speedup=round(d_dense / d_dts, 3),
-         sf_train_speedup=round(t_dense / t_dts, 3))
+         sf_train_speedup=round(t_dense / t_dts, 3),
+         savi_train_speedup=round(s_dense / s_dts, 3))
     win = d_dense / d_dts > 1.02 and t_dense / t_dts > 1.0
     print(f"VERDICT: {'DTS WINS — flip the default after a full bench run' if win else 'DTS does not win — keep dense default'}",
           flush=True)
