@@ -103,9 +103,11 @@ def test_phase_deconv_defaults_off(monkeypatch):
     m = DeconvNormAct(4, kernel_size=5, stride=2)
     p = m.init(RNG, x)
     bound = m.bind(p)
-    assert bound._use_phase(x) is False
+    assert bound._phase_mode(x) == 0
     monkeypatch.setenv("SF_PHASE_DECONV", "1")
-    assert bound._use_phase(x) is True
+    assert bound._phase_mode(x) == 1
+    monkeypatch.setenv("SF_PHASE_DECONV", "2")
+    assert bound._phase_mode(x) == 2
 
 
 # ------------------------------------------------------------ slot attention
