@@ -385,6 +385,16 @@ class StoSAVi(nn.Module):
             is_first = jnp.zeros((T,), bool)
         if pred_state is None:
             pred_state = self.init_pred_state(B)
+        # scan-carry dtype stability under AMP: init_pred_state zeros are f32
+        # while a bf16-cast init_latents makes slots0 bf16 — the LSTM then
+        # promotes its output (and the slots fed through it) back to f32 and
+        # lax.scan rejects the carry. Pin every floating carry leaf to the
+        # slots dtype (no-op in pure-f32 runs).
+        pred_state = jax.tree.map(
+            lambda x: x.astype(slots0.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            pred_state,
+        )
 
         if sample_eps is None:
             def step(cell, carry, first_t, k_t, v_t):

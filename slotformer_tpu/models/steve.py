@@ -132,6 +132,12 @@ class STEVE(nn.Module):
             is_first = jnp.zeros((T,), bool)
         if pred_state is None:
             pred_state = self.init_pred_state(B)
+        # AMP scan-carry dtype stability — same reasoning as savi.py encode()
+        pred_state = jax.tree.map(
+            lambda x: x.astype(slots0.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            pred_state,
+        )
 
         def step(cell, carry, first_t, k_t, v_t):
             return cell(carry, None, first_t, deterministic=deterministic,

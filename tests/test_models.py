@@ -255,6 +255,28 @@ def test_stosavi_chunked_encode_carry():
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-5)
 
 
+@pytest.mark.parametrize("pred_rnn", [False, True])
+def test_stosavi_bf16_train_loss_scan_carry(pred_rnn):
+    """AMP regression (round-4 crash): with all-f32 params cast to bf16 (the
+    trainer's use_fp16 policy), the temporal nn.scan carry must stay
+    dtype-stable — init_pred_state's f32 zeros used to promote the LSTM
+    output (and the slots flowing through it) back to f32, and lax.scan
+    rejected the carry. Covers both RNN-wrapped and stateless predictors."""
+    model = tiny_savi(kld="var-0.01", pred_rnn=pred_rnn, pred_type="transformer")
+    batch = {"img": jax.random.normal(jax.random.PRNGKey(7), (2, 3, 32, 32, 3))}
+    variables = model.init({"params": RNG, "sample": RNG}, batch)
+    bf = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
+    )
+    losses = model.apply(
+        {"params": bf(variables["params"])}, bf(batch), method="train_loss",
+        rngs={"sample": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+    )
+    for k, v in losses.items():
+        assert v.dtype == jnp.bfloat16, (k, v.dtype)
+        assert np.isfinite(float(v)), (k, float(v))
+
+
 def test_savi_kld_loss_value():
     """KLD vs fixed-sigma prior: at log_var == kld_log_var the KLD is 0."""
     import math

@@ -144,6 +144,22 @@ def test_steve_forward_and_loss():
     assert out2["target_token_id"].shape == (6, 16)
 
 
+def test_steve_bf16_train_loss_scan_carry():
+    """AMP scan-carry dtype stability for STEVE's encode (same round-4
+    regression as StoSAVi: f32 init_pred_state zeros vs bf16 init_latents)."""
+    model = _tiny_steve()
+    batch = {"img": jax.random.normal(jax.random.PRNGKey(9), (2, 3, 16, 16, 3))}
+    variables = model.init({"params": RNG, "sample": RNG, "dropout": RNG}, batch)
+    bf = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
+    )
+    losses = model.apply(
+        {"params": bf(variables["params"])}, bf(batch), method="train_loss",
+        rngs={"sample": RNG, "dropout": RNG},
+    )
+    assert np.isfinite(float(losses["token_recon_loss"]))
+
+
 def test_steve_slotformer_rollout_and_decode():
     model = STEVESlotFormer(
         resolution=(16, 16),
