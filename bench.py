@@ -237,10 +237,22 @@ def bench_train(emit=True):
                         "baseline_is_estimate": True,
                         # measured: XLA-counted FLOPs / wall-clock / bf16 peak
                         "mfu": mfu,
+                        "contended": _contended(),
                     }
                 )
             )
     return results
+
+
+def _contended() -> bool:
+    """Whether the supervisor failed to hold the exclusive chip lock.
+
+    Set by _supervised for the inner process; the default configuration
+    out-waits the lock forever, so a recorded artifact is contended only
+    when the SF_TPU_LOCK_WAIT test escape hatch fired."""
+    import os
+
+    return os.environ.get("SF_BENCH_CONTENDED", "0") == "1"
 
 
 def main() -> None:
@@ -290,6 +302,10 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": round(fps / RTX6000_EST_FRAMES_PER_SEC, 3),
         "baseline_is_estimate": True,
+        # False = the supervisor held the exclusive chip lock for the whole
+        # measurement (the only mode the default config can produce; see
+        # _acquire_tpu_lock)
+        "contended": _contended(),
         # MEASURED utilization: XLA-counted program FLOPs / wall-clock /
         # v5e bf16 peak — the perf evidence that does not lean on the
         # analytical RTX6000 estimate
@@ -307,36 +323,44 @@ def main() -> None:
 
 
 def _acquire_tpu_lock():
-    """Best-effort exclusive chip lock shared with the experiment queues.
+    """Exclusive chip lock shared with the experiment queues.
 
-    The long-running hardware queues (experiments/r5b_queue.sh etc.) hold
+    The long-running hardware queues (experiments/r6_queue.sh etc.) hold
     ``flock /tmp/tpu.lock`` while training; two concurrent clients on the
     tunneled chip contend and have been observed to wedge the relay for
-    30+ minutes. Wait up to SF_TPU_LOCK_WAIT seconds (default 900) for the
-    lock, then proceed anyway (a contended measurement beats no artifact) —
-    the fd is returned so it stays held (and auto-releases on close) when
-    acquisition worked. SF_TPU_LOCK overrides the lock path (tests point it
-    at a tmp file so they never wait on a busy real chip).
+    30+ minutes. Round 4's official artifact was a contended measurement
+    (VERDICT r4 weak #1: 4,639 f/s recorded vs 6,182 clean) — so the
+    default now OUT-WAITS the lock indefinitely instead of giving up after
+    900 s: every queue step is timeout-bounded, so the lock always frees.
+    Returns ``(fd, contended)``; ``contended`` is True only when
+    SF_TPU_LOCK_WAIT (a test-only escape hatch; unset = wait forever) is
+    set and expires first. SF_TPU_LOCK overrides the lock path (tests
+    point it at a tmp file so they never wait on a busy real chip).
     """
     import fcntl
     import os
 
     path = os.environ.get("SF_TPU_LOCK", "/tmp/tpu.lock")
-    max_wait_s = float(os.environ.get("SF_TPU_LOCK_WAIT", "900"))
+    wait_env = os.environ.get("SF_TPU_LOCK_WAIT", "")
+    deadline = time.time() + float(wait_env) if wait_env else None
     try:
         fd = open(path, "w")
     except OSError:
-        return None
-    deadline = time.time() + max_wait_s
+        return None, True
+    t0 = time.time()
     while True:
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            return fd
+            return fd, False
         except OSError:
-            if time.time() >= deadline:
-                _stage(f"{path} still held after "
-                       f"{max_wait_s:.0f}s; benching anyway (contended)")
-                return fd  # keep fd open; we just don't hold the lock
+            if deadline is not None and time.time() >= deadline:
+                _stage(f"{path} still held after {wait_env}s "
+                       "(SF_TPU_LOCK_WAIT escape hatch); benching CONTENDED")
+                return fd, True  # keep fd open; we just don't hold the lock
+            waited = time.time() - t0
+            if int(waited) % 300 < 10:
+                _stage(f"waiting on {path} ({waited:.0f}s) — refusing to "
+                       "record a contended measurement")
             time.sleep(10)
 
 
@@ -348,15 +372,17 @@ def _supervised(argv) -> int:
     would hang the driver's bench step and forfeit the round artifact. A
     transient wedge clears in minutes, so: 3 attempts x 20 min each.
     """
+    import os
     import subprocess
 
-    lock = _acquire_tpu_lock()
+    lock, contended = _acquire_tpu_lock()
+    env = dict(os.environ, SF_BENCH_CONTENDED="1" if contended else "0")
     try:
         for attempt in range(3):
             try:
                 rc = subprocess.run(
                     [sys.executable, __file__, "--inner"] + argv,
-                    timeout=1200,
+                    timeout=1200, env=env,
                 ).returncode
             except subprocess.TimeoutExpired:
                 _stage(f"attempt {attempt + 1} timed out (wedged tunnel?); "

@@ -10,7 +10,7 @@ import bench
 def test_supervisor_retries_after_timeout(monkeypatch):
     calls = []
 
-    def fake_run(cmd, timeout):
+    def fake_run(cmd, timeout, env=None):
         calls.append(cmd)
         if len(calls) == 1:
             raise subprocess.TimeoutExpired(cmd, timeout)
@@ -26,7 +26,7 @@ def test_supervisor_retries_after_timeout(monkeypatch):
 def test_supervisor_gives_up_after_three_failures(monkeypatch):
     calls = []
 
-    def fake_run(cmd, timeout):
+    def fake_run(cmd, timeout, env=None):
         calls.append(cmd)
         return subprocess.CompletedProcess(cmd, 3)
 
@@ -35,3 +35,59 @@ def test_supervisor_gives_up_after_three_failures(monkeypatch):
     assert bench._supervised(["--train"]) == 1
     assert len(calls) == 3
     assert all("--train" in c for c in calls)
+
+
+def test_supervisor_stamps_uncontended_env(monkeypatch):
+    """A clean lock acquisition tells the inner process contended=0 (the
+    JSON line stamps 'contended': false from it — VERDICT r4 #2)."""
+    envs = []
+
+    def fake_run(cmd, timeout, env=None):
+        envs.append(env)
+        return subprocess.CompletedProcess(cmd, 0)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._supervised([]) == 0
+    assert envs[0]["SF_BENCH_CONTENDED"] == "0"
+
+
+def test_lock_outwaits_holder_by_default(monkeypatch, tmp_path):
+    """With no SF_TPU_LOCK_WAIT, _acquire_tpu_lock refuses to proceed while
+    another fd holds the lock — it waits until release (no 900s give-up)."""
+    import fcntl
+
+    path = str(tmp_path / "lock")
+    monkeypatch.setenv("SF_TPU_LOCK", path)
+    monkeypatch.delenv("SF_TPU_LOCK_WAIT", raising=False)
+    holder = open(path, "w")
+    fcntl.flock(holder, fcntl.LOCK_EX)
+    sleeps = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        if len(sleeps) == 3:  # holder releases on the third poll
+            fcntl.flock(holder, fcntl.LOCK_UN)
+
+    monkeypatch.setattr(bench.time, "sleep", fake_sleep)
+    fd, contended = bench._acquire_tpu_lock()
+    assert contended is False
+    assert len(sleeps) >= 3
+    fd.close()
+    holder.close()
+
+
+def test_lock_escape_hatch_marks_contended(monkeypatch, tmp_path):
+    """SF_TPU_LOCK_WAIT (test-only escape) expiring flags the measurement
+    contended instead of silently recording it as clean."""
+    import fcntl
+
+    path = str(tmp_path / "lock")
+    monkeypatch.setenv("SF_TPU_LOCK", path)
+    monkeypatch.setenv("SF_TPU_LOCK_WAIT", "0.01")
+    holder = open(path, "w")
+    fcntl.flock(holder, fcntl.LOCK_EX)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    fd, contended = bench._acquire_tpu_lock()
+    assert contended is True
+    fd.close()
+    holder.close()
