@@ -213,17 +213,23 @@ def pairwise_iou_tables(
     return intersect / (union + 1e-8)
 
 
-def hungarian_miou_from_table(iou: np.ndarray, present_gt: np.ndarray) -> float:
-    """One sample: iou [n_gt_fg, n_pred]; present_gt bool [n_gt_fg] marks gt
-    classes that actually appear. Undetected-object penalty per
-    vp_utils.py:225-243."""
-    iou = iou[present_gt]
-    N, M = iou.shape
+def hungarian_miou_from_table(iou: np.ndarray, n_eff: int) -> float:
+    """One sample: iou [n_gt_fg, n_pred]; ``n_eff`` = this sample's max gt id
+    (the reference's per-sample ``F.one_hot(gt)[..., 1:]`` row count,
+    vp_utils.py:227-229). Rows are gt ids 1..n_eff — an id ABSENT from the
+    sample but below the max still counts as an undetected object (IoU-0
+    row), exactly like the reference; the sum is always divided by n_eff
+    (vp_utils.py:240-243: both branches normalize by N). Extra zero columns
+    from a wider global n_pred are value-neutral (they can only absorb
+    otherwise-unmatched rows at IoU 0). Golden-pinned against the executed
+    reference in tests/test_metrics_golden.py."""
+    iou = iou[:n_eff]
+    N = iou.shape[0]
     if N == 0:
+        # degenerate all-background gt: the reference nan's here (mean of an
+        # empty match); score it perfect instead of poisoning the batch mean
         return 1.0
     row, col = linear_sum_assignment(iou, maximize=True)
-    if M >= N:
-        return float(iou[row, col].mean())
     return float(iou[row, col].sum() / N)
 
 
@@ -234,12 +240,10 @@ def miou_metric(gt_mask: np.ndarray, pred_mask: np.ndarray, n_gt: int, n_pred: i
     pm = jnp.asarray(pred_mask.reshape(B, -1))
     tables = np.asarray(pairwise_iou_tables(gm, pm, n_gt, n_pred))
     gm_np = np.asarray(gm)
-    ious = []
-    for i in range(B):
-        present = np.array(
-            [(gm_np[i] == c).any() for c in range(1, n_gt)], dtype=bool
-        )
-        ious.append(hungarian_miou_from_table(tables[i], present))
+    ious = [
+        hungarian_miou_from_table(tables[i], int(gm_np[i].max()))
+        for i in range(B)
+    ]
     return float(np.mean(ious))
 
 
@@ -325,14 +329,12 @@ def _traj_tables_all_t(gt_mask, pred_mask, num_classes):
     gm = gt_mask.reshape(B * T, H * W)
     pm = pred_mask.reshape(B * T, H * W)
     tables = pairwise_iou_tables(gm, pm, num_classes, num_classes)
-    present = (
-        jax.nn.one_hot(gm, num_classes, dtype=jnp.float32)[..., 1:].sum(1) > 0
-    )
+    n_eff = gm.max(1)  # per-sample gt max id = reference row count
     return (
         ari,
         fari,
         tables.reshape(B, T, num_classes - 1, num_classes),
-        present.reshape(B, T, num_classes - 1),
+        n_eff.reshape(B, T),
     )
 
 
@@ -394,14 +396,14 @@ def pred_eval_step(
             max(np.asarray(gt_mask).max(), np.asarray(pred_mask).max()) + 1
         )
         B = gt_mask.shape[0]
-        ari_t, fari_t, tables, present = _traj_tables_all_t(
+        ari_t, fari_t, tables, n_eff = _traj_tables_all_t(
             jnp.asarray(gt_mask).astype(jnp.int32),
             jnp.asarray(pred_mask).astype(jnp.int32), nc
         )
         all_ari = np.asarray(ari_t).astype(float).tolist()
         all_fari = np.asarray(fari_t).astype(float).tolist()
         tables = np.asarray(tables)
-        present = np.asarray(present)
+        n_eff = np.asarray(n_eff)
         # fetch once, not per-t (pred_bbox may be a device array)
         gt_pres_mask = np.asarray(gt_pres_mask)
         gt_bbox = np.asarray(gt_bbox)
@@ -409,7 +411,7 @@ def pred_eval_step(
         for t in range(T):
             # tiny host Hungarians (<=C x C) over precomputed device tables
             all_miou.append(float(np.mean([
-                hungarian_miou_from_table(tables[i, t], present[i, t])
+                hungarian_miou_from_table(tables[i, t], int(n_eff[i, t]))
                 for i in range(B)
             ])))
             ap, ar = batch_bbox_precision_recall(
