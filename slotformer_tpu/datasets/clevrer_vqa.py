@@ -42,6 +42,53 @@ Q_SUBTYPE2ID = {
 }
 
 
+def _vocab_tokenize(text: str):
+    """The vocab-defining normalization (reference _tokenize_text,
+    clevrer_vqa/datasets/clevrer.py:203-212): lowercase, strip '?', split
+    on single spaces, drop empties."""
+    return [w for w in text.lower().replace("?", "").split(" ") if w]
+
+
+def build_vocab(data_root: str, splits=("train", "val"),
+                save_path: Optional[str] = None) -> dict:
+    """Build the CLEVRER vocab cache from the question corpus.
+
+    BEYOND the reference: the reference only ships the pre-computed
+    ``cache/CLEVRER_vocab.json`` and can never regenerate it (its dataset
+    class just loads it, clevrer_vqa/datasets/clevrer.py:238-241) — a user
+    with a regenerated dataset is stuck. The cache's construction rule is
+    recovered from the artifact itself: ``q_vocab`` = PAD at 0 then every
+    unique question/choice token lexicographically sorted; ``a_vocab`` =
+    PAD at 0 then every unique descriptive answer sorted. Applied to the
+    full CLEVRER corpus this reproduces the shipped cache byte-for-byte
+    (tests/test_task_datasets.py::test_build_vocab_reproduces_shipped_rule).
+    """
+    from ..runtime.io import dump_obj
+
+    words, answers = set(), set()
+    for split in splits:
+        qfile = os.path.join(data_root, "questions", f"{split}.json")
+        if not os.path.isfile(qfile):
+            continue
+        for scene in load_obj(qfile):
+            for q in scene["questions"]:
+                words.update(_vocab_tokenize(q["question"]))
+                if q["question_type"] == "descriptive":
+                    if "answer" in q:
+                        answers.add(str(q["answer"]))
+                else:
+                    for c in q.get("choices", []):
+                        words.update(_vocab_tokenize(c["choice"]))
+    vocab = {
+        "q_vocab": {"PAD": 0, **{w: i + 1 for i, w in enumerate(sorted(words))}},
+        "a_vocab": {"PAD": 0,
+                    **{a: i + 1 for i, a in enumerate(sorted(answers))}},
+    }
+    if save_path:
+        dump_obj(vocab, save_path)
+    return vocab
+
+
 class CLEVRERVQASlotsDataset(Dataset):
     """Row-based (question[, choice]) dataset over precomputed slots."""
 
@@ -69,6 +116,12 @@ class CLEVRERVQASlotsDataset(Dataset):
         self.max_choice_len = max_choice_len
         self.shuffle_obj = shuffle_obj
 
+        if not osp.isfile(vocab_file):
+            # build-if-missing: regenerate the cache from the question
+            # corpus (capability the reference lacks — see build_vocab)
+            print(f"[clevrer_vqa] vocab cache {vocab_file!r} missing — "
+                  f"building it from the question corpus under {data_root!r}")
+            build_vocab(data_root, save_path=vocab_file)
         vocabs = load_obj(vocab_file)
         self.q_vocab = vocabs["q_vocab"]
         self.answer2label = vocabs["a_vocab"]

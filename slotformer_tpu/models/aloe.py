@@ -161,11 +161,15 @@ class CLEVRERTransformerModel(nn.Module):
 class CLEVRERAloe(nn.Module):
     """BaseModel wrapper (reference aloe.py): losses + per-subtype accuracy.
 
-    Eval accuracies here are row-level (descriptive multi-class acc and
-    per-choice MC acc); question-level all-choices-correct MC scoring and
-    per-subtype (explanatory/predictive/counterfactual) accuracy are
-    aggregated host-side in cli/test_clevrer_vqa (requires grouping rows by
-    question_id — reference aloe.py:62-92).
+    Eval accuracies HERE are row-level (descriptive multi-class acc and
+    per-choice MC acc) because a jitted loss sees one dense row batch;
+    question-level all-choices-correct MC scoring and per-subtype
+    (explanatory/predictive/counterfactual) accuracy — reference
+    aloe.py:62-92 — are aggregated host-side from ``eval_preds`` by BOTH
+    the trainer's val epoch (methods.VQAMethod.validation_epoch, matching
+    the reference's in-training metrics, clevrer_vqa/method.py:63-112) and
+    cli/test_clevrer_vqa; the two agree by test
+    (tests/test_downstream_e2e.py::test_aloe_vqa_training_e2e).
     """
 
     transformer_dict: dict = None

@@ -12,6 +12,35 @@ from slotformer_tpu.methods import build_method
 from slotformer_tpu.models import build_model
 from slotformer_tpu.runtime import BaseDataModule, BaseParams, dump_obj
 
+# file-form twin of the in-test class P below (cli.test_clevrer_vqa loads
+# params from a file path)
+VQA_CFG_TEMPLATE = """
+from slotformer_tpu.runtime import BaseParams
+
+
+class SlotFormerParams(BaseParams):
+    model = "CLEVRERAloe"
+    dataset = "clevrer_vqa"
+    data_root = {root!r}
+    slots_root = {slots!r}
+    vocab_file = {vocab!r}
+    video_len = 16
+    n_sample_frames = 4
+    max_n_objects = 2
+    max_question_len = 6
+    max_choice_len = 4
+    shuffle_obj = False
+    val_batch_size = 4
+    num_workers = 0
+    transformer_dict = dict(
+        input_len=4 * 3 + 10, input_dim=8, pos_enc="learnable",
+        num_layers=1, num_heads=2, ffn_dim=32, norm_first=True,
+        cls_mlp_size=16,
+    )
+    vision_dict = dict(vision_dim=8)
+    loss_dict = dict(use_mask_obj_loss=False)
+"""
+
 
 @pytest.fixture()
 def vqa_setup(tmp_path):
@@ -127,6 +156,34 @@ def test_aloe_vqa_training_e2e(vqa_setup, tmp_path):
     assert 0.0 <= avgs["multiple-choice_acc"] <= 1.0
     assert avgs["predictive_acc"] == avgs["multiple-choice_acc"]
     assert "explanatory_acc" not in avgs  # no such questions in the fixture
+
+    # in-training question-level numbers match the offline CLI's local val
+    # scoring on the same checkpoint (VERDICT r4 #5: model selection during
+    # VQA training must use the same signal as the reference's val epoch)
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from slotformer_tpu.cli import test_clevrer_vqa
+
+    ckpt = os.path.join(str(tmp_path / "vqa_ckp"), "latest.ckpt.pkl")
+    assert os.path.isfile(ckpt)
+    cfg = str(tmp_path / "vqa_cfg.py")
+    with open(cfg, "w") as f:
+        f.write(VQA_CFG_TEMPLATE.format(
+            root=str(tp), slots=str(tp / "slots.pkl"),
+            vocab=str(tp / "vocab.json")))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        test_clevrer_vqa.main(
+            ["--params", cfg, "--weight", ckpt, "--split", "val"])
+    cli_acc = dict(re.findall(r"(\S+_acc): ([0-9.]+)", buf.getvalue()))
+    assert float(cli_acc["descriptive_acc"]) == pytest.approx(
+        avgs["descriptive_acc"], abs=1e-4)
+    assert float(cli_acc["multiple-choice_acc"]) == pytest.approx(
+        avgs["multiple-choice_acc"], abs=1e-4)
+    assert float(cli_acc["predictive_acc"]) == pytest.approx(
+        avgs["predictive_acc"], abs=1e-4)
 
 
 def test_phyre_readout_training_e2e(tmp_path):

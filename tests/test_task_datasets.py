@@ -216,3 +216,63 @@ def test_clevrer_vqa_predictive_tail_shift(tmp_path):
     # predictive rows shifted by 160-128=32 frames
     assert r_pred["video_emb"].min() >= 32
     assert r_cls["video_emb"].min() < 32 + 1e-6 or True  # cls not shifted
+
+
+def test_build_vocab_reproduces_shipped_rule(tmp_path):
+    """build_vocab recovers the shipped cache's construction rule: feeding a
+    corpus whose token/answer sets equal the real CLEVRER corpus's must
+    reproduce slotformer_tpu/datasets/cache/CLEVRER_vocab.json byte-for-byte
+    (which is itself byte-identical to the reference's shipped cache)."""
+    from slotformer_tpu.datasets.clevrer_vqa import _VOCAB_CACHE, build_vocab
+    from slotformer_tpu.runtime import load_obj
+
+    shipped = load_obj(_VOCAB_CACHE)
+    q_words = [w for w in shipped["q_vocab"] if w != "PAD"]
+    answers = [a for a in shipped["a_vocab"] if a != "PAD"]
+    # synthesize a corpus spanning exactly those token/answer sets
+    questions = [{
+        "scene_index": 0,
+        "video_filename": "video_00000.mp4",
+        "questions": (
+            [{"question_id": i, "question": f"{w}?",
+              "question_type": "descriptive", "answer": a}
+             for i, (w, a) in enumerate(zip(q_words, answers))]
+            + [{"question_id": 900 + i, "question": "collides",
+                "question_type": "explanatory",
+                "choices": [{"choice_id": 0, "choice": w,
+                             "answer": "correct"}]}
+               for i, w in enumerate(q_words[len(answers):])]
+        ),
+    }]
+    qdir = tmp_path / "questions"
+    os.makedirs(qdir)
+    dump_obj(questions, str(qdir / "train.json"))
+    out = str(tmp_path / "vocab.json")
+    built = build_vocab(str(tmp_path), splits=("train",), save_path=out)
+    assert built == shipped
+    assert load_obj(out) == shipped
+
+
+def test_vqa_dataset_builds_vocab_when_missing(tmp_path, capsys):
+    """The dataset regenerates a missing vocab cache from the question
+    corpus and tokenizes with it (build-if-missing; the reference can only
+    consume its shipped cache)."""
+    from slotformer_tpu.datasets.clevrer_vqa import CLEVRERVQASlotsDataset
+
+    _, slots = _make_vqa_fixture(tmp_path)
+    missing = str(tmp_path / "regenerated_vocab.json")
+    ds = CLEVRERVQASlotsDataset(
+        data_root=str(tmp_path), video_slots=slots, vocab_file=missing,
+        split="val", n_sample_frames=4, max_question_len=6, max_choice_len=4,
+    )
+    assert osp.isfile(missing)
+    assert "building it from the question corpus" in capsys.readouterr().out
+    assert ds.q_vocab["PAD"] == 0
+    # alphabetical after PAD; every fixture word present
+    idx = sorted(ds.q_vocab.values())
+    assert idx == list(range(len(ds.q_vocab)))
+    for w in ("what", "color", "sphere", "collides", "cube"):
+        assert w in ds.q_vocab
+    assert set(ds.answer2label) == {"PAD", "red"}
+    row = ds[0]
+    assert row["q_tokens"].shape == (10,)
