@@ -326,8 +326,10 @@ def main():
     if not os.path.exists(head_ckp):
         _train(ro_cfg, "ckpts/readout_phyre_fake")
     folded_ckp = "ckpts/readout_phyre_fake/latest_folded.ckpt.pkl"
+    fold_warned = False
     if not os.path.exists(folded_ckp):
-        _fold_standardization(head_ckp, folded_ckp, mu, sd, ro_cfg, ro_dir)
+        fold_warned = _fold_standardization(
+            head_ckp, folded_ckp, mu, sd, ro_cfg, ro_dir)
 
     # ---- stage 6: planning eval -> AUCCESS (folded head on raw slots)
     t0 = time.perf_counter()
@@ -337,6 +339,10 @@ def main():
         "--savi_params", savi_cfg, "--savi_weight", savi_ckp,
         "--bs", "50", "--num_acts", "100",
     ])
+    if fold_warned:
+        print("[fold] AUCCESS above is UNVERIFIED: the in_proj fold check "
+              "warned (relative error in the 1e-2..0.1 grey zone)",
+              flush=True)
     print(f"[timing] planning eval {time.perf_counter() - t0:.1f}s",
           flush=True)
     _report_baselines("ckpts/readout_phyre_fake/test")
@@ -393,11 +399,19 @@ def _fold_standardization(src_ckp, dst_ckp, mu, sd, ro_cfg, ro_dir):
           f"(rel {rel:.2e})", flush=True)
     # relative check: f32 matmuls over unnormalized slot scales legitimately
     # accumulate ~1e-3 abs error (three hardware runs died on the old hard
-    # 1e-3 abs assert). A failed verification must not discard a trained
-    # pipeline — warn and continue to the AUCCESS eval.
+    # 1e-3 abs assert). Grey zone (1e-2..0.1): a noisy-but-plausible fold
+    # must not discard a trained pipeline — warn, continue, and tag the
+    # AUCCESS as UNVERIFIED. Above 0.1 the fold is genuinely wrong: fail
+    # hard rather than print an authoritative-looking AUCCESS.
+    assert rel <= 0.1, (
+        f"in_proj standardization fold is wrong: relative error {rel:.2e} "
+        "> 0.1 — refusing to run the planning eval on a mis-folded head")
     if rel > 1e-2:
         print(f"[fold] WARNING: relative fold error {rel:.2e} > 1e-2; "
-              "continuing to planning eval anyway", flush=True)
+              "continuing to planning eval anyway — AUCCESS will be tagged "
+              "UNVERIFIED", flush=True)
+        return True
+    return False
 
 
 def _report_baselines(test_dir):

@@ -164,8 +164,14 @@ def main(argv=None) -> None:
 
         # ship ONLY what the rollout consumes (slots, precomputed tokens) —
         # GT images/masks are metric inputs, not model inputs; through the
-        # payload-proportional tunnel the full batch was the bottleneck
-        fwd_batch = {k: db[k] for k in ("slots", "token_id") if k in db}
+        # payload-proportional tunnel the full batch was the bottleneck.
+        # Exception: STEVESlotFormer's img-recon path tokenizes batch['img']
+        # itself when no precomputed token_id is present — stripping img
+        # there would KeyError inside the jitted forward.
+        fwd_keys = ("slots", "token_id")
+        if params.model == "STEVESlotFormer" and "token_id" not in db:
+            fwd_keys += ("img",)
+        fwd_batch = {k: db[k] for k in fwd_keys if k in db}
         t0 = time.perf_counter()
         pred, pred_mask, pred_bbox = forward(params_tree, fwd_batch)
         # predictions STAY on device (pred_eval_step consumes them there);
@@ -282,6 +288,13 @@ def main(argv=None) -> None:
     )
 
     results = {m: np.array([mm.avg for mm in v]) for m, v in meters.items()}
+    if args.wire == "uint8":
+        # keep benchmark rows attributable: uint8 GT wire quantizes
+        # float-rendered GT by <=1/255 before MSE/PSNR/SSIM/LPIPS, so such
+        # numbers are not bit-comparable to f32-wire or reference evals on
+        # synthetic data (real video datasets are uint8-sourced — lossless)
+        print("[test_vp] note: gt quantized (uint8 wire) — pixel metrics "
+              "not bit-comparable to f32-wire evals on float-rendered data")
     for k, v in results.items():
         np.save(os.path.join(save_dir, f"{k}.npy"), v)
         print(f"{k}: {v.mean():.4f}")

@@ -284,7 +284,10 @@ class VQAMethod(BaseMethod):
 
         model = self.model
 
-        def eval_step(state, batch):
+        def eval_step(state, batch, batch_idx):
+            # batch_idx unused (Aloe eval is fully deterministic); kept for
+            # the BaseMethod eval-step call signature
+            del batch_idx
             losses = model.apply(
                 {"params": state["params"]}, batch, method="eval_loss"
             )
@@ -305,8 +308,9 @@ class VQAMethod(BaseMethod):
         if self._eval_step_fn is None:
             self._eval_step_fn = self._make_eval_step()
         mc_rows = defaultdict(list)  # (scene, qid) -> [(correct, subtype)]
-        for batch, db, n in self._val_batches(san_check_step):
-            losses, _, mc_correct = self._eval_step_fn(self.state, db)
+        for bi, (batch, db, n) in enumerate(
+                self._val_batches(san_check_step)):
+            losses, _, mc_correct = self._eval_step_fn(self.state, db, bi)
             self._update_val_stats(losses, n)
             is_cls = np.asarray(batch["is_cls"]).astype(bool)
             scene = np.asarray(batch["scene_index"])

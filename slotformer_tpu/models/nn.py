@@ -243,13 +243,16 @@ class DeconvNormAct(nn.Module):
     ``phase`` (0/False = dense, 1/True = 4-conv phase decomposition with a
     dense-VJP custom_vjp, 2 = single-conv depth-to-space decomposition,
     plain AD — see ``_dts_conv_transpose``). ``None`` resolves from env
-    ``SF_PHASE_DECONV`` (**default OFF = 0**): mode 1 measured 0.51x
-    decode / 0.46x SlotFormer-train post-custom_vjp
-    (experiments/logs/phase_deconv_probe_vjp.log) — the earlier 1.09x
-    forward-only win did not survive the custom_vjp fusion barrier. Mode 2
-    removes both of mode 1's losses (one s^2*co-channel conv instead of 4,
-    no custom_vjp); it stays opt-in until hardware-measured (round-3
-    lesson: the committed default follows the measurement).
+    ``SF_PHASE_DECONV`` (**default OFF = 0** — the measured decision, both
+    alternatives LOSE on v5e despite paying fewer MACs on paper):
+      mode 1: 0.51x decode / 0.46x SlotFormer-train post-custom_vjp
+        (experiments/logs/phase_deconv_probe_vjp.log) — the 1.09x
+        forward-only win did not survive the custom_vjp fusion barrier;
+      mode 2: 0.67x decode / 0.90x SlotFormer-train / 0.93x SAVi-train
+        (experiments/logs/dts_deconv_probe_r4.log) — XLA's dilated dense
+        lowering runs the decoder shapes near its naive-MAC roofline and
+        beats the depth-to-space layout shuffles.
+    Both modes stay exactness-tested as opt-ins for other hardware.
     """
 
     out_channels: int
@@ -289,7 +292,12 @@ class DeconvNormAct(nn.Module):
             return int(self.phase)
         import os
 
-        return int(os.environ.get("SF_PHASE_DECONV", "0") or 0)
+        raw = os.environ.get("SF_PHASE_DECONV", "0") or "0"
+        if raw not in ("0", "1", "2"):
+            raise ValueError(
+                f"SF_PHASE_DECONV={raw!r}: expected 0 (dense, default), "
+                "1 (phase decomposition) or 2 (depth-to-space)")
+        return int(raw)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mode = self._phase_mode(x)

@@ -417,15 +417,19 @@ class SlotFormer(nn.Module):
         """Whole-batch img-recon MSE through the frozen decoder with params
         + inputs cast to bf16 (error/accumulation in f32). Matches the f32
         value to bf16 precision incl. vid_len masking (equivalence-tested).
-        Frozen-only, like chunking: upstream stop_gradient means no dW ever
-        sees the reduced precision."""
+        FROZEN-ONLY by construction: the decoder params are stop_gradient'ed
+        HERE, so no dW ever sees the reduced precision even if a config
+        forgets the optimizer freeze — the rollouter's d(slots) gradient
+        still flows through the bf16 decode, which is the point. (The
+        SlotFormer decoder is always a frozen SAVi graft; a trainable
+        decoder must keep dec_recon_bf16 off.)"""
         B, T_ro = pred_slots.shape[:2]
         gt_img = batch["img"][:, self.history_len :]
         H, W, C = gt_img.shape[2:]
         F = B * T_ro
         flat = pred_slots.reshape(F, self.num_slots, self.slot_size)
         p16 = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16),
+            lambda a: jax.lax.stop_gradient(a.astype(jnp.bfloat16)),
             self.decoder.variables["params"],
         )
         dec = self.decoder.clone(parent=None)

@@ -339,12 +339,17 @@ class BaseMethod:
     def _make_eval_step(self) -> Callable:
         model = self.model
 
-        def eval_step(state, batch):
+        def eval_step(state, batch, batch_idx):
+            # deterministic eval, but DIFFERENT kernel-sampling noise per
+            # val batch: a constant key would show every batch the same
+            # stochastic draw and mildly bias val KLD/recon for stochastic
+            # models (VERDICT r4 weak #6)
             return model.apply(
                 {"params": state["params"]},
                 _decode_wire(batch),
                 method="eval_loss",
-                rngs={"sample": jax.random.PRNGKey(0)},
+                rngs={"sample": jax.random.fold_in(
+                    jax.random.PRNGKey(0), batch_idx)},
             )
 
         return jax.jit(eval_step)
@@ -552,8 +557,8 @@ class BaseMethod:
         self.stats.reset()
         if self._eval_step_fn is None:
             self._eval_step_fn = self._make_eval_step()
-        for _, db, n in self._val_batches(san_check_step):
-            losses = self._eval_step_fn(self.state, db)
+        for bi, (_, db, n) in enumerate(self._val_batches(san_check_step)):
+            losses = self._eval_step_fn(self.state, db, bi)
             self._update_val_stats(losses, n)
         return self._finish_validation(san_check_step)
 

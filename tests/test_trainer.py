@@ -443,8 +443,8 @@ def test_uint8_wire_batch_matches_f32(tmp_path):
         np.testing.assert_allclose(
             np.asarray(losses_q[k]), np.asarray(losses_u[k]), rtol=2e-5,
             err_msg=k)
-    ev_q = eval_fn(fresh(), put(batch_f32q))
-    ev_u = eval_fn(fresh(), put(batch_u8))
+    ev_q = eval_fn(fresh(), put(batch_f32q), 0)
+    ev_u = eval_fn(fresh(), put(batch_u8), 0)
     for k in ev_q:
         np.testing.assert_allclose(
             np.asarray(ev_q[k]), np.asarray(ev_u[k]), rtol=2e-5, err_msg=k)
