@@ -117,11 +117,13 @@ def bench_train(emit=True):
     KT = 4  # optimizer steps fused per timed call
 
     def time_train(model, batch, rng_names=("sample", "dropout"), frozen=(),
-                   flops_model=None):
+                   flops_model=None, use_bf16=False):
         """``flops_model``: structurally identical twin whose train_loss has
         no inner lax.scan (e.g. dec_chunk_frames=0) — XLA counts a scan body
         once, so counting on the chunked model would undercount the decoder
-        (the dominant FLOP source) by the chunk count."""
+        (the dominant FLOP source) by the chunk count.
+        ``use_bf16``: the trainer's --fp16 AMP semantics (f32 master params,
+        bf16 compute cast at the loss boundary)."""
         variables = model.init(
             {n: jax.random.PRNGKey(i) for i, n in
              enumerate(("params",) + rng_names)},
@@ -142,14 +144,22 @@ def bench_train(emit=True):
                             k: jax.lax.stop_gradient(v)
                             if k in frozen else v for k, v in pp.items()
                         }
+                    b = dbatch
+                    if use_bf16:
+                        cast = lambda t: jax.tree.map(  # noqa: E731
+                            lambda x: x.astype(jnp.bfloat16)
+                            if x.dtype == jnp.float32 else x, t)
+                        pp, b = cast(pp), cast(b)
                     losses = m.apply(
-                        {"params": pp}, dbatch, method="train_loss",
+                        {"params": pp}, b, method="train_loss",
                         rngs={
                             n: jax.random.fold_in(jax.random.PRNGKey(7 + j), i)
                             for j, n in enumerate(rng_names)
                         },
                     )
-                    return sum(jnp.asarray(v) for v in losses.values())
+                    return jnp.asarray(
+                        sum(jnp.asarray(v, jnp.float32)
+                            for v in losses.values()), jnp.float32)
 
                 loss, grads = jax.value_and_grad(loss_fn)(p)
                 upd, o = tx.update(grads, o, p)
@@ -197,9 +207,14 @@ def bench_train(emit=True):
         loss_dict=dict(use_post_recon_loss=True, kld_method="var-0.01"),
     )
     bs, t = 64, 6
+    # AMP (bf16 compute): the reference trains SAVi with --fp16 itself
+    # (BASELINE.md: stosavi_clevrer "fp16+DDP"); measured 1.13x vs f32 on
+    # v5e with val convergence equal-or-better than f32
+    # (experiments/logs/dec_bwd_probe_r5.log, savi_amp_ab_r4.log)
     dt, flops = time_train(
         savi, {"img": np.random.RandomState(0)
-               .uniform(-1, 1, (bs, t, 64, 64, 3)).astype(np.float32)}
+               .uniform(-1, 1, (bs, t, 64, 64, 3)).astype(np.float32)},
+        use_bf16=True,
     )
     results["savi_train_frames_per_sec_per_chip"] = (bs * t * KT / dt,
                                                     _mfu(flops, dt))

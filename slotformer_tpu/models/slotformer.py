@@ -244,6 +244,16 @@ class SlotFormer(nn.Module):
         # backward's saved-activation HBM traffic. Takes precedence over
         # chunking (whole-batch bf16 fits where f32 spilled).
         self.dec_recon_bf16 = bool(ld.get("dec_recon_bf16", False))
+        # hand-written frozen-decoder backward: saves BOOL relu masks
+        # instead of f32 pre-activations (4x less residual HBM) and
+        # backprops d(slots) through jax.linear_transpose'd convs — the
+        # decoder is frozen so dW is dead anyway. Exact gradients
+        # (ops/frozen_decoder_loss.py). Takes precedence over bf16/chunking.
+        self.dec_custom_bwd = bool(ld.get("dec_custom_bwd", False))
+        if self.dec_custom_bwd:
+            dd = self.dec_dict or {}
+            assert not dd.get("dec_norm", ""), (
+                "dec_custom_bwd supports norm-free decoders only")
 
     def _make_rollouter(self, rd: dict) -> nn.Module:
         return SlotRollouter(name="rollouter", **rd)
@@ -458,6 +468,9 @@ class SlotFormer(nn.Module):
             # the plain/chunked path must run so the decoder params are
             # created (the bf16 path reads .variables, which init lacks).
             nc = 0
+        if (self.use_img_recon_loss and self.dec_custom_bwd
+                and not self.is_initializing()):
+            nc = -1  # custom-backward whole-batch decode (see below)
         if nc == 1:
             out = self(batch, deterministic=False)
             return self.calc_train_loss(
@@ -477,7 +490,11 @@ class SlotFormer(nn.Module):
         loss_dict = self.calc_train_loss(
             batch, out, loss_decay_factor=loss_decay_factor, training=True
         )
-        if nc == 0:
+        if nc == -1:
+            loss_dict["img_recon_loss"] = self._custom_bwd_img_recon_loss(
+                batch, pred_slots
+            )
+        elif nc == 0:
             loss_dict["img_recon_loss"] = self._bf16_img_recon_loss(
                 batch, pred_slots
             )
@@ -486,6 +503,40 @@ class SlotFormer(nn.Module):
                 batch, pred_slots, nc
             )
         return loss_dict
+
+    def _custom_bwd_img_recon_loss(
+        self, batch: dict, pred_slots: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Frozen-decoder img-recon MSE via ops.frozen_decoder_loss: bool
+        relu-mask residuals + linear_transpose backward, exact gradients
+        (equivalence-tested against the plain autodiff path)."""
+        from ..ops.frozen_decoder_loss import frozen_decoder_recon_loss
+
+        B, T_ro = pred_slots.shape[:2]
+        gt_img = batch["img"][:, self.history_len :]
+        H, W, C = gt_img.shape[2:]
+        F = B * T_ro
+        dd = self.dec_dict or {}
+        cfg = (
+            tuple(dd.get("dec_channels", (128, 64, 64, 64, 64))),
+            tuple(dd.get("dec_resolution", (8, 8))),
+            tuple(self.resolution),
+            int(dd.get("dec_ks", 5)),
+        )
+        vid_len = batch.get("vid_len", None)
+        if vid_len is not None:
+            valid = (
+                jnp.arange(T_ro)[None] + self.history_len < vid_len[:, None]
+            )
+            w = valid.astype(jnp.float32).reshape(F)
+        else:
+            w = jnp.ones((F,), jnp.float32)
+        return frozen_decoder_recon_loss(
+            self.decoder.variables["params"],
+            pred_slots.reshape(F, self.num_slots, self.slot_size),
+            gt_img.reshape(F, H, W, C),
+            w, cfg, self.num_slots,
+        )
 
     def eval_loss(self, batch: dict) -> dict:
         out = self(batch, deterministic=True)

@@ -255,6 +255,64 @@ def test_stosavi_chunked_encode_carry():
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-5)
 
 
+@pytest.mark.parametrize("use_vid_len", [False, True])
+def test_frozen_decoder_custom_bwd_matches_autodiff(use_vid_len):
+    """dec_custom_bwd (bool relu-mask residuals + linear_transpose backward,
+    ops/frozen_decoder_loss.py) computes the SAME img-recon loss AND the
+    same d(loss)/d(rollouter params) as the plain autodiff path — gradients
+    are analytically exact, tolerances cover float reassociation only."""
+    def build(**ld):
+        return SlotFormer(
+            resolution=(16, 16),
+            slot_dict=dict(num_slots=4, slot_size=16),
+            dec_dict=dict(dec_channels=(16, 8, 8), dec_resolution=(4, 4),
+                          dec_ks=3),
+            rollout_dict=dict(
+                num_slots=4, slot_size=16, history_len=3, t_pe="sin",
+                d_model=16, num_layers=1, num_heads=2, ffn_dim=32,
+            ),
+            loss_dict=dict(rollout_len=4, use_img_recon_loss=True,
+                           dropout=0.0, **ld),
+        )
+
+    plain = build(dec_chunk_frames=0)
+    custom = build(dec_custom_bwd=True)
+    batch = {
+        "slots": jax.random.normal(RNG, (2, 7, 4, 16)),
+        "img": jax.random.normal(jax.random.PRNGKey(3), (2, 7, 16, 16, 3)),
+    }
+    if use_vid_len:
+        batch["vid_len"] = jnp.array([5, 7], jnp.int32)
+    variables = plain.init(RNG, batch)
+    kw = dict(method="train_loss", rngs={"dropout": jax.random.PRNGKey(5)})
+
+    def total(model):
+        def f(p):
+            ld = model.apply({"params": p}, batch, **kw)
+            return ld["img_recon_loss"] + ld["slot_recon_loss"], ld
+        return f
+
+    (l_p, ld_p), g_p = jax.value_and_grad(total(plain), has_aux=True)(
+        variables["params"])
+    (l_c, ld_c), g_c = jax.value_and_grad(total(custom), has_aux=True)(
+        variables["params"])
+    tol = 2e-5 if use_vid_len else 1e-6  # eps-in-denominator differs
+    np.testing.assert_allclose(
+        float(ld_c["img_recon_loss"]), float(ld_p["img_recon_loss"]),
+        rtol=tol)
+    # rollouter grads (the trained subtree) must match through the custom
+    # backward; decoder grads are zero on the custom path by construction
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_p["rollouter"]),
+        jax.tree_util.tree_leaves_with_path(g_c["rollouter"]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-6,
+            err_msg=str(kp))
+    for leaf in jax.tree_util.tree_leaves(g_c["decoder"]):
+        assert float(jnp.abs(leaf).max()) == 0.0
+
+
 @pytest.mark.parametrize("pred_rnn", [False, True])
 def test_stosavi_bf16_train_loss_scan_carry(pred_rnn):
     """AMP regression (round-4 crash): with all-f32 params cast to bf16 (the
