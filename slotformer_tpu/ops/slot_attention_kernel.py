@@ -26,12 +26,17 @@ Training support: ``slot_attention_update`` is a ``jax.custom_vjp`` whose
 forward runs this kernel and whose backward differentiates the identical
 jnp composition — forward gets the fusion win, gradients stay exact.
 
-STATUS (measured on v5e, B=64 N=4096 D=128 S=7): numerically exact vs XLA
-(max diff 2e-4 on updates), but 0.65x XLA's speed — the [TILE, 8] matmuls
-underutilize the MXU while XLA fuses the same pattern natively at
-~139 GB/s. The kernel is therefore OPT-IN (``SlotAttention(use_pallas=True)``)
-and kept as the substrate for future shapes where the fusion wins (larger
-slot counts, bf16 flows, multi-iteration fusion).
+DECISION (final, round 5 — measured on v5e at the production CLEVRER shape
+B=64 N=4096 D=128 S=7): the fused kernel is numerically exact and reaches
+PARITY with XLA (1.04x after the sublane-softmax layout + concatenated GRU
+gates; see the closing STATUS on fused_slot_attention for every variant
+tried and why the MXU 8-of-128-lane wall is shared). It is NOT a perf
+asset and is NOT the default path for any config: it stays OPT-IN
+(``SlotAttention(use_pallas=True)``), exactness-tested in
+tests/test_pallas_ops.py so it cannot rot, with exactly one revisit
+trigger — a production shape with num_iterations >= 3 or much larger N,
+where XLA's per-iteration k/v HBM round-trip (which this kernel removes)
+would dominate.
 """
 
 from __future__ import annotations
