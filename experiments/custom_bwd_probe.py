@@ -39,7 +39,7 @@ def timed_scalar(fn, *args, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
-def probe_dec_grad_custom(results):
+def probe_dec_grad_custom(results, nc):
     from slotformer_tpu.models.savi import SpatialBroadcastDecoder
     from slotformer_tpu.ops.frozen_decoder_loss import (
         frozen_decoder_recon_loss,
@@ -56,10 +56,24 @@ def probe_dec_grad_custom(results):
         rs.uniform(-1, 1, (F, RES, RES, 3)).astype(np.float32))
     params = jax.device_put(dec.init(jax.random.PRNGKey(0), slots[:2]))["params"]
     w = jnp.ones((F,), jnp.float32)
+    denom = jnp.asarray(float(F * RES * RES * 3), jnp.float32)
     cfg = ((128, 64, 64, 64, 64), (8, 8), (RES, RES), 5)
 
     def loss(s, p, i):
-        return frozen_decoder_recon_loss(p, s, i, w, cfg, S)
+        if nc == 1:
+            return frozen_decoder_recon_loss(p, s, i, w, denom, cfg, S)
+
+        def body(c, xs):
+            ss, ii, ww = xs
+            return c + frozen_decoder_recon_loss(
+                p, ss, ii, ww, denom, cfg, S), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros(()),
+            (s.reshape(nc, F // nc, S, D),
+             i.reshape(nc, F // nc, RES, RES, 3),
+             w.reshape(nc, F // nc)))
+        return acc
 
     @jax.jit
     def k(s, p, i):
@@ -70,8 +84,8 @@ def probe_dec_grad_custom(results):
         return acc
 
     dt = timed_scalar(k, slots, params, img) / 4
-    results["dec_grad_custom_ms"] = round(dt * 1e3, 1)
-    results["dec_grad_custom_fps"] = round(F / dt, 1)
+    results[f"dec_grad_custom_c{nc}_ms"] = round(dt * 1e3, 1)
+    results[f"dec_grad_custom_c{nc}_fps"] = round(F / dt, 1)
 
 
 def probe_full_train(results, tag, loss_extra):
@@ -122,11 +136,14 @@ def probe_full_train(results, tag, loss_extra):
 def main():
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     results = {}
-    probe_dec_grad_custom(results)
-    print(json.dumps(results), flush=True)
+    for nc in (4, 8, 2, 1):
+        probe_dec_grad_custom(results, nc)
+        print(json.dumps(results), flush=True)
     probe_full_train(results, "f32_default", {})
     print(json.dumps(results), flush=True)
-    probe_full_train(results, "custom", {"dec_custom_bwd": True})
+    # dec_custom_bwd now composes with dec_chunk_frames (default 160 -> 4
+    # chunks at F=640)
+    probe_full_train(results, "custom_c4", {"dec_custom_bwd": True})
     print(json.dumps(results), flush=True)
 
 

@@ -509,7 +509,11 @@ class SlotFormer(nn.Module):
     ) -> jnp.ndarray:
         """Frozen-decoder img-recon MSE via ops.frozen_decoder_loss: bool
         relu-mask residuals + linear_transpose backward, exact gradients
-        (equivalence-tested against the plain autodiff path)."""
+        (equivalence-tested against the plain autodiff path). Composes
+        with dec_chunk_frames: chunks are scanned with per-chunk custom
+        residuals under one global normalizer."""
+        import jax.lax as lax
+
         from ..ops.frozen_decoder_loss import frozen_decoder_recon_loss
 
         B, T_ro = pred_slots.shape[:2]
@@ -529,14 +533,37 @@ class SlotFormer(nn.Module):
                 jnp.arange(T_ro)[None] + self.history_len < vid_len[:, None]
             )
             w = valid.astype(jnp.float32).reshape(F)
+            denom = w.sum() * (H * W * C) + self.eps
         else:
             w = jnp.ones((F,), jnp.float32)
-        return frozen_decoder_recon_loss(
-            self.decoder.variables["params"],
-            pred_slots.reshape(F, self.num_slots, self.slot_size),
-            gt_img.reshape(F, H, W, C),
-            w, cfg, self.num_slots,
+            denom = jnp.asarray(float(F * H * W * C), jnp.float32)
+        dec_params = self.decoder.variables["params"]
+        flat_slots = pred_slots.reshape(F, self.num_slots, self.slot_size)
+        flat_img = gt_img.reshape(F, H, W, C)
+        nc = _pick_chunks(F, self.dec_chunk_frames)
+        if nc <= 1:
+            return frozen_decoder_recon_loss(
+                dec_params, flat_slots, flat_img, w, denom,
+                cfg, self.num_slots,
+            )
+
+        def body(carry, xs):
+            s, t, ww = xs
+            part = frozen_decoder_recon_loss(
+                dec_params, s, t, ww, denom, cfg, self.num_slots
+            )
+            return carry + part, None
+
+        loss, _ = lax.scan(
+            body,
+            jnp.zeros((), jnp.float32),
+            (
+                flat_slots.reshape(nc, F // nc, self.num_slots, self.slot_size),
+                flat_img.reshape(nc, F // nc, H, W, C),
+                w.reshape(nc, F // nc),
+            ),
         )
+        return loss
 
     def eval_loss(self, batch: dict) -> dict:
         out = self(batch, deterministic=True)

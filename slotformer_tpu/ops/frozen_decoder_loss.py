@@ -84,49 +84,52 @@ def _decode_fwd(params, slots, cfg):
     return out, tuple(masks)
 
 
-def _composite_and_loss(out, gt, w, num_slots):
+def _composite_and_loss(out, gt, w, denom, num_slots):
     """out [F*S, H, W, 4] -> (loss, softmax masks m, rgb r, diff).
 
-    loss = sum_f w_f * sum_hw (recon_f - gt_f)^2 / denom, with
-    denom = sum(w) * H*W*C — the chunked-loss normalization
-    (models/slotformer.py), which equals plain mean when w == 1.
+    loss = sum_f w_f * sum_hw (recon_f - gt_f)^2 / denom. Callers pass
+    denom = sum(w) * H*W*C (+eps) — the model normalization
+    (models/slotformer.py), which equals plain mean when w == 1; an
+    explicit denom lets a chunked caller sum per-chunk partial losses
+    under ONE global normalizer.
     """
     FS = out.shape[0]
     S = num_slots
     F = FS // S
-    H, W = out.shape[1:3]
-    out = out.reshape(F, S, H, W, 4)
+    out = out.reshape(F, S, out.shape[1], out.shape[2], 4)
     r = out[..., :3]
     m = jax.nn.softmax(out[..., 3], axis=1)  # over slots
     recon = jnp.einsum("fshw,fshwc->fhwc", m, r)
     diff = recon - gt  # [F, H, W, 3]
     sse = ((diff ** 2).sum(axis=(1, 2, 3)) * w).sum()
-    denom = w.sum() * (H * W * 3)
-    return sse / denom, m, r, diff, denom
+    return sse / denom, m, r, diff
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def frozen_decoder_recon_loss(
-    params, slots, gt, w,
+    params, slots, gt, w, denom,
     cfg: Tuple, num_slots: int,
 ) -> jnp.ndarray:
-    """MSE(composite(decode(slots)), gt), decoder FROZEN.
+    """sum_f w_f * SSE(composite(decode(slots))_f, gt_f) / denom, decoder
+    FROZEN.
 
     params: decoder param tree (treated as constants — zero cotangent);
     slots [F, S, D]; gt [F, H, W, 3]; w [F] frame weights (vid_len
-    masking; all-ones = plain mean). cfg = (dec_channels, dec_resolution,
+    masking); denom: scalar normalizer — sum(w)*H*W*C gives the plain
+    (weighted) mean; a chunked caller passes the GLOBAL denom and sums the
+    per-chunk partial losses. cfg = (dec_channels, dec_resolution,
     resolution, ks) as static tuples.
     """
     flat = slots.reshape(-1, slots.shape[-1])
     out, _ = _decode_fwd(params, flat, cfg)
-    loss, _, _, _, _ = _composite_and_loss(out, gt, w, num_slots)
+    loss, _, _, _ = _composite_and_loss(out, gt, w, denom, num_slots)
     return loss
 
 
-def _fwd(params, slots, gt, w, cfg, num_slots):
+def _fwd(params, slots, gt, w, denom, cfg, num_slots):
     flat = slots.reshape(-1, slots.shape[-1])
     out, relu_masks = _decode_fwd(params, flat, cfg)
-    loss, m, r, diff, denom = _composite_and_loss(out, gt, w, num_slots)
+    loss, m, r, diff = _composite_and_loss(out, gt, w, denom, num_slots)
     res = (params, relu_masks, m, r, diff, denom, w, slots.shape)
     return loss, res
 
@@ -173,7 +176,8 @@ def _bwd(cfg, num_slots, res, g):
     zeros_p = jax.tree.map(jnp.zeros_like, params)  # frozen
     dgt = -2.0 * g * diff * w[:, None, None, None] / denom
     dw = jnp.zeros_like(w)  # vid_len weights are data, not trained
-    return zeros_p, dslots.reshape(slots_shape), dgt, dw
+    ddenom = jnp.zeros_like(denom)
+    return zeros_p, dslots.reshape(slots_shape), dgt, dw, ddenom
 
 
 frozen_decoder_recon_loss.defvjp(_fwd, _bwd)

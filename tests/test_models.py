@@ -255,8 +255,9 @@ def test_stosavi_chunked_encode_carry():
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-5)
 
 
-@pytest.mark.parametrize("use_vid_len", [False, True])
-def test_frozen_decoder_custom_bwd_matches_autodiff(use_vid_len):
+@pytest.mark.parametrize("use_vid_len,chunk", [(False, 0), (True, 0),
+                                               (False, 4), (True, 4)])
+def test_frozen_decoder_custom_bwd_matches_autodiff(use_vid_len, chunk):
     """dec_custom_bwd (bool relu-mask residuals + linear_transpose backward,
     ops/frozen_decoder_loss.py) computes the SAME img-recon loss AND the
     same d(loss)/d(rollouter params) as the plain autodiff path — gradients
@@ -276,7 +277,8 @@ def test_frozen_decoder_custom_bwd_matches_autodiff(use_vid_len):
         )
 
     plain = build(dec_chunk_frames=0)
-    custom = build(dec_custom_bwd=True)
+    # chunk=4 -> 2 scanned chunks of the custom loss (B*T_ro = 8 frames)
+    custom = build(dec_custom_bwd=True, dec_chunk_frames=chunk)
     batch = {
         "slots": jax.random.normal(RNG, (2, 7, 4, 16)),
         "img": jax.random.normal(jax.random.PRNGKey(3), (2, 7, 16, 16, 3)),
