@@ -60,7 +60,7 @@ def _decode_fwd(params, slots, cfg):
     (param tree layout: pos_embedding/dense, deconv_i/ConvTranspose_0,
     out_conv). Returns (out [B', H, W, 4], relu_masks)."""
     dec_channels, dec_resolution, resolution, ks = cfg
-    Bp, S, D = slots.shape[0], None, slots.shape[-1]
+    Bp, D = slots.shape[0], slots.shape[-1]
     H0, W0 = dec_resolution
     x = jnp.broadcast_to(slots[:, None, None, :], (Bp, H0, W0, D))
     grid = jnp.asarray(build_grid(dec_resolution), x.dtype)
