@@ -146,10 +146,10 @@ def bench_train(emit=True):
                         }
                     b = dbatch
                     if use_bf16:
-                        cast = lambda t: jax.tree.map(  # noqa: E731
-                            lambda x: x.astype(jnp.bfloat16)
-                            if x.dtype == jnp.float32 else x, t)
-                        pp, b = cast(pp), cast(b)
+                        # THE trainer cast — imported, so the measured
+                        # program cannot drift from --fp16 semantics
+                        from slotformer_tpu.runtime import to_bf16
+                        pp, b = to_bf16(pp), to_bf16(b)
                     losses = m.apply(
                         {"params": pp}, b, method="train_loss",
                         rngs={
@@ -259,15 +259,26 @@ def bench_train(emit=True):
     return results
 
 
-def _contended() -> bool:
+def _contended():
     """Whether the supervisor failed to hold the exclusive chip lock.
 
     Set by _supervised for the inner process; the default configuration
     out-waits the lock forever, so a recorded artifact is contended only
-    when the SF_TPU_LOCK_WAIT test escape hatch fired."""
+    when the SF_TPU_LOCK_WAIT test escape hatch fired.
+
+    Tri-state on purpose: ``False`` ONLY when the supervisor explicitly
+    certified an uncontended window (env var "0"). When the env var is
+    absent — e.g. `python bench.py --inner` run directly, or bench_train()
+    imported from another script — no lock was ever held, and stamping
+    ``false`` would launder an unverified measurement as clean (the exact
+    round-4 failure this mechanism exists to prevent); such runs stamp
+    ``"unknown"``."""
     import os
 
-    return os.environ.get("SF_BENCH_CONTENDED", "0") == "1"
+    v = os.environ.get("SF_BENCH_CONTENDED")
+    if v is None:
+        return "unknown"
+    return v == "1"
 
 
 def main() -> None:

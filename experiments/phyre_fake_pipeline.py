@@ -17,6 +17,7 @@ Run:  python experiments/phyre_fake_pipeline.py
 Artifacts + logs under experiments/out_phyre_fake/.
 """
 
+import json
 import os
 import sys
 import time
@@ -326,10 +327,19 @@ def main():
     if not os.path.exists(head_ckp):
         _train(ro_cfg, "ckpts/readout_phyre_fake")
     folded_ckp = "ckpts/readout_phyre_fake/latest_folded.ckpt.pkl"
-    fold_warned = False
+    verdict_file = folded_ckp + ".fold_verdict.json"
     if not os.path.exists(folded_ckp):
         fold_warned = _fold_standardization(
             head_ckp, folded_ckp, mu, sd, ro_cfg, ro_dir)
+    elif os.path.exists(verdict_file):
+        # resume path: the verdict was persisted alongside the folded ckpt
+        # so a grey-zone fold keeps its UNVERIFIED tag across re-runs
+        with open(verdict_file) as f:
+            fold_warned = bool(json.load(f)["warned"])
+    else:
+        # folded ckpt from a run that predates verdict persistence —
+        # unknown provenance, tag conservatively
+        fold_warned = True
 
     # ---- stage 6: planning eval -> AUCCESS (folded head on raw slots)
     t0 = time.perf_counter()
@@ -406,12 +416,16 @@ def _fold_standardization(src_ckp, dst_ckp, mu, sd, ro_cfg, ro_dir):
     assert rel <= 0.1, (
         f"in_proj standardization fold is wrong: relative error {rel:.2e} "
         "> 0.1 — refusing to run the planning eval on a mis-folded head")
-    if rel > 1e-2:
+    warned = rel > 1e-2
+    if warned:
         print(f"[fold] WARNING: relative fold error {rel:.2e} > 1e-2; "
               "continuing to planning eval anyway — AUCCESS will be tagged "
               "UNVERIFIED", flush=True)
-        return True
-    return False
+    # persist the verdict so a resumed run (folded ckpt already on disk)
+    # keeps tagging its AUCCESS correctly
+    with open(dst_ckp + ".fold_verdict.json", "w") as f:
+        json.dump({"warned": warned, "rel": rel}, f)
+    return warned
 
 
 def _report_baselines(test_dir):

@@ -66,10 +66,12 @@ def build_vocab(data_root: str, splits=("train", "val"),
     from ..runtime.io import dump_obj
 
     words, answers = set(), set()
+    n_read = 0
     for split in splits:
         qfile = os.path.join(data_root, "questions", f"{split}.json")
         if not os.path.isfile(qfile):
             continue
+        n_read += 1
         for scene in load_obj(qfile):
             for q in scene["questions"]:
                 words.update(_vocab_tokenize(q["question"]))
@@ -79,6 +81,16 @@ def build_vocab(data_root: str, splits=("train", "val"),
                 else:
                     for c in q.get("choices", []):
                         words.update(_vocab_tokenize(c["choice"]))
+    if n_read == 0 or not words:
+        # never persist an empty PAD-only cache: it would poison every
+        # later run via the isfile(vocab_file) fast path until manually
+        # deleted — fail loudly with the paths that were probed instead
+        probed = [os.path.join(data_root, "questions", f"{s}.json")
+                  for s in splits]
+        raise FileNotFoundError(
+            f"build_vocab: no question corpus found (probed {probed}); "
+            "refusing to write an empty vocab cache. Point data_root at a "
+            "CLEVRER root containing questions/train.json (+ val.json).")
     vocab = {
         "q_vocab": {"PAD": 0, **{w: i + 1 for i, w in enumerate(sorted(words))}},
         "a_vocab": {"PAD": 0,
@@ -134,8 +146,9 @@ class CLEVRERVQASlotsDataset(Dataset):
 
     # -------------------------------------------------------------- indexing
     def _tokenize(self, text: str, pad_num: int):
-        words = text.lower().replace("?", "").split(" ")
-        toks = [self.q_vocab[w] for w in words if w]
+        # _vocab_tokenize IS the vocab-defining normalization — using it
+        # here keeps construction and lookup from ever diverging
+        toks = [self.q_vocab[w] for w in _vocab_tokenize(text)]
         pad_mask = np.ones(pad_num, bool)
         pad_mask[: len(toks)] = False
         toks = toks + [self.q_vocab["PAD"]] * (pad_num - len(toks))

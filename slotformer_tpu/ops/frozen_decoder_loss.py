@@ -92,6 +92,11 @@ def _composite_and_loss(out, gt, w, denom, num_slots):
     (models/slotformer.py), which equals plain mean when w == 1; an
     explicit denom lets a chunked caller sum per-chunk partial losses
     under ONE global normalizer.
+
+    The residual diff and the SSE reduction are computed in f32 even when
+    the decode ran in bf16 (AMP): 12k-term squared-error sums lose ~1e-2
+    relative accuracy in bf16, and the sibling paths
+    (slotformer._bf16_img_recon_loss) upcast before the error too.
     """
     FS = out.shape[0]
     S = num_slots
@@ -100,9 +105,10 @@ def _composite_and_loss(out, gt, w, denom, num_slots):
     r = out[..., :3]
     m = jax.nn.softmax(out[..., 3], axis=1)  # over slots
     recon = jnp.einsum("fshw,fshwc->fhwc", m, r)
-    diff = recon - gt  # [F, H, W, 3]
-    sse = ((diff ** 2).sum(axis=(1, 2, 3)) * w).sum()
-    return sse / denom, m, r, diff
+    diff = recon.astype(jnp.float32) - gt.astype(jnp.float32)  # [F, H, W, 3]
+    sse_f = (diff ** 2).sum(axis=(1, 2, 3))  # [F] per-frame SSE, f32
+    loss = (sse_f * w.astype(jnp.float32)).sum() / denom
+    return loss, m, r, diff, sse_f
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -122,27 +128,36 @@ def frozen_decoder_recon_loss(
     """
     flat = slots.reshape(-1, slots.shape[-1])
     out, _ = _decode_fwd(params, flat, cfg)
-    loss, _, _, _ = _composite_and_loss(out, gt, w, denom, num_slots)
+    loss = _composite_and_loss(out, gt, w, denom, num_slots)[0]
     return loss
 
 
 def _fwd(params, slots, gt, w, denom, cfg, num_slots):
     flat = slots.reshape(-1, slots.shape[-1])
     out, relu_masks = _decode_fwd(params, flat, cfg)
-    loss, m, r, diff = _composite_and_loss(out, gt, w, denom, num_slots)
-    res = (params, relu_masks, m, r, diff, denom, w, slots.shape)
+    loss, m, r, diff, sse_f = _composite_and_loss(out, gt, w, denom, num_slots)
+    # 0-d dtype carriers: cotangents must match the primal dtypes exactly
+    # (e.g. bf16 slots/gt under AMP while the loss chain runs f32)
+    slots_dt = jnp.zeros((), slots.dtype)
+    gt_dt = jnp.zeros((), gt.dtype)
+    res = (params, relu_masks, m, r, diff, sse_f, denom, w, slots.shape,
+           slots_dt, gt_dt)
     return loss, res
 
 
 def _bwd(cfg, num_slots, res, g):
-    params, relu_masks, m, r, diff, denom, w, slots_shape = res
+    (params, relu_masks, m, r, diff, sse_f, denom, w, slots_shape,
+     slots_dt, gt_dt) = res
     dec_channels, dec_resolution, resolution, ks = cfg
     F, H, W = diff.shape[:3]
     S = num_slots
     D = slots_shape[-1]
+    w32 = w.astype(jnp.float32)
+    den32 = denom.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
 
     # d loss / d recon = 2 * diff * w / denom   (then scaled by upstream g)
-    drecon = diff * (2.0 * w[:, None, None, None] / denom) * g
+    drecon = diff * (2.0 * w32[:, None, None, None] / den32) * g32
     # compositing: recon = sum_s m_s * r_s
     dr = m[..., None] * drecon[:, None]  # [F, S, H, W, 3]
     dm = jnp.einsum("fhwc,fshwc->fshw", drecon, r)
@@ -151,9 +166,12 @@ def _bwd(cfg, num_slots, res, g):
     dout = jnp.concatenate([dr, dz[..., None]], axis=-1)
     dout = dout.reshape(F * S, H, W, 4)
 
-    # 1x1 out conv transpose: dy = dout @ W^T
+    # 1x1 out conv transpose: dy = dout @ W^T. The heavy transpose chain
+    # runs in the decoder's compute dtype (bf16 under AMP — same as
+    # autodiff of a bf16 decode, and keeps the convs on the bf16 MXU
+    # path); only the loss-side elementwise math above is upcast to f32.
     woc = params["out_conv"]["kernel"][0, 0]  # [Cin, 4]
-    dy = dout @ woc.T  # [F*S, H, W, Cin]
+    dy = dout.astype(woc.dtype) @ woc.T  # [F*S, H, W, Cin]
 
     specs = _layer_specs(dec_channels, dec_resolution, resolution, ks)
     for i in reversed(range(len(specs))):
@@ -174,10 +192,15 @@ def _bwd(cfg, num_slots, res, g):
     dslots = dy.sum(axis=(1, 2)).reshape(F, S, D)
 
     zeros_p = jax.tree.map(jnp.zeros_like, params)  # frozen
-    dgt = -2.0 * g * diff * w[:, None, None, None] / denom
-    dw = jnp.zeros_like(w)  # vid_len weights are data, not trained
-    ddenom = jnp.zeros_like(denom)
-    return zeros_p, dslots.reshape(slots_shape), dgt, dw, ddenom
+    dgt = (-2.0 * g32 * diff * w32[:, None, None, None] / den32).astype(
+        gt_dt.dtype)
+    # loss = (sse . w) / denom  =>  exact cotangents for the frame weights
+    # and the normalizer too (a caller with learnable frame weights gets
+    # correct grads, not silent zeros)
+    dw = (g32 * sse_f / den32).astype(w.dtype)
+    ddenom = (-g32 * (sse_f * w32).sum() / den32 ** 2).astype(denom.dtype)
+    return (zeros_p, dslots.reshape(slots_shape).astype(slots_dt.dtype),
+            dgt, dw, ddenom)
 
 
 frozen_decoder_recon_loss.defvjp(_fwd, _bwd)

@@ -23,7 +23,7 @@ from .checkpoint import (
     save_checkpoint,
 )
 from .datamodule import BaseDataModule, DataLoader, Dataset, default_collate
-from .method import BaseMethod, RestartForMemory
+from .method import BaseMethod, RestartForMemory, to_bf16
 from . import torch_compat
 
 __all__ = [

@@ -81,6 +81,23 @@ def _decode_wire(batch: dict) -> dict:
     return out
 
 
+def to_bf16(tree):
+    """THE AMP cast: every f32 leaf -> bf16, everything else untouched.
+
+    Single definition of the trainer's ``--fp16`` policy (reference AMP at
+    scripts/train.py:72,84,105) — bench.py and the AMP regression tests
+    import this so a measured/tested program can never silently diverge
+    from what the trainer runs."""
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        tree,
+    )
+
+
 class BaseMethod:
     """Generic trainer for flax models following the loss-dict convention.
 
@@ -254,15 +271,7 @@ class BaseMethod:
         optimizer = self.optimizer
         weights = dict(self.loss_weights)
         use_bf16 = self.use_fp16  # bf16 is the TPU AMP dtype
-
-        def _to_bf16(tree):
-            return jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32
-                else x,
-                tree,
-            )
-
+        _to_bf16 = to_bf16
         frozen = tuple(self.frozen_prefixes)
 
         def train_step(state, batch, step):

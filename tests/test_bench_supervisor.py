@@ -51,6 +51,18 @@ def test_supervisor_stamps_uncontended_env(monkeypatch):
     assert envs[0]["SF_BENCH_CONTENDED"] == "0"
 
 
+def test_contended_is_tristate(monkeypatch):
+    """_contended() stamps False ONLY on an explicit supervisor
+    certificate; a bare `bench.py --inner` / imported bench_train() (no
+    lock ever held) stamps 'unknown' — never a laundered false."""
+    monkeypatch.delenv("SF_BENCH_CONTENDED", raising=False)
+    assert bench._contended() == "unknown"
+    monkeypatch.setenv("SF_BENCH_CONTENDED", "0")
+    assert bench._contended() is False
+    monkeypatch.setenv("SF_BENCH_CONTENDED", "1")
+    assert bench._contended() is True
+
+
 def test_lock_outwaits_holder_by_default(monkeypatch, tmp_path):
     """With no SF_TPU_LOCK_WAIT, _acquire_tpu_lock refuses to proceed while
     another fd holds the lock — it waits until release (no 900s give-up)."""

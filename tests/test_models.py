@@ -315,6 +315,95 @@ def test_frozen_decoder_custom_bwd_matches_autodiff(use_vid_len, chunk):
         assert float(jnp.abs(leaf).max()) == 0.0
 
 
+def _tiny_dec_params_and_cfg(key):
+    """Hand-built decoder param tree matching ops/frozen_decoder_loss's
+    expected layout (pos_embedding/dense, deconv_i/ConvTranspose_0
+    [kH,kW,out,in] kernels, out_conv HWIO)."""
+    cfg = ((16, 8, 8), (4, 4), (16, 16), 3)
+    n = lambda i, shape: (  # noqa: E731
+        jax.random.normal(jax.random.fold_in(key, i), shape) * 0.3)
+    params = {
+        "pos_embedding": {"dense": {"kernel": n(0, (4, 16)),
+                                    "bias": n(1, (16,))}},
+        "deconv_0": {"ConvTranspose_0": {"kernel": n(2, (3, 3, 8, 16)),
+                                         "bias": n(3, (8,))}},
+        "deconv_1": {"ConvTranspose_0": {"kernel": n(4, (3, 3, 8, 8)),
+                                         "bias": n(5, (8,))}},
+        "out_conv": {"kernel": n(6, (1, 1, 8, 4)), "bias": n(7, (4,))},
+    }
+    return params, cfg
+
+
+def test_frozen_decoder_loss_w_denom_cotangents_exact():
+    """frozen_decoder_recon_loss returns EXACT cotangents for the frame
+    weights w and the normalizer denom (not silent zeros) — a caller with
+    learnable frame weights (e.g. curriculum weighting) gets correct
+    grads. Checked against plain autodiff of the same math through the
+    non-custom forward."""
+    from slotformer_tpu.ops.frozen_decoder_loss import (
+        _decode_fwd, frozen_decoder_recon_loss)
+
+    params, cfg = _tiny_dec_params_and_cfg(jax.random.PRNGKey(11))
+    S, D = 4, 16
+    F, H, W = 3, 16, 16
+    slots = jax.random.normal(jax.random.PRNGKey(12), (F, S, D))
+    gt = jax.random.normal(jax.random.PRNGKey(13), (F, H, W, 3))
+    w = jnp.asarray([1.0, 0.5, 2.0], jnp.float32)
+    denom = jnp.asarray(1234.5, jnp.float32)
+
+    def plain(slots_, gt_, w_, denom_):
+        out, _ = _decode_fwd(params, slots_.reshape(-1, D), cfg)
+        out = out.reshape(F, S, H, W, 4)
+        m = jax.nn.softmax(out[..., 3], axis=1)
+        recon = jnp.einsum("fshw,fshwc->fhwc", m, out[..., :3])
+        sse = (((recon - gt_) ** 2).sum(axis=(1, 2, 3)) * w_).sum()
+        return sse / denom_
+
+    def custom(slots_, gt_, w_, denom_):
+        return frozen_decoder_recon_loss(
+            params, slots_, gt_, w_, denom_, cfg, S)
+
+    g_plain = jax.grad(plain, argnums=(0, 1, 2, 3))(slots, gt, w, denom)
+    g_custom = jax.grad(custom, argnums=(0, 1, 2, 3))(slots, gt, w, denom)
+    for name, a, b in zip(("slots", "gt", "w", "denom"), g_plain, g_custom):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-5, atol=1e-7,
+            err_msg=name)
+    # w/denom grads are genuinely nonzero — the old code returned zeros
+    assert float(jnp.abs(g_custom[2]).max()) > 1e-6
+    assert float(jnp.abs(g_custom[3]).max()) > 1e-9
+
+
+def test_frozen_decoder_loss_bf16_amp():
+    """Under AMP (bf16 params/slots/gt), the op computes the SSE reduction
+    in f32 (parity with _bf16_img_recon_loss's upcast) and returns
+    cotangents in the primal dtypes (custom_vjp requires the match)."""
+    from slotformer_tpu.ops.frozen_decoder_loss import (
+        frozen_decoder_recon_loss)
+
+    params, cfg = _tiny_dec_params_and_cfg(jax.random.PRNGKey(21))
+    S, D, F, H, W = 4, 16, 3, 16, 16
+    slots = jax.random.normal(jax.random.PRNGKey(22), (F, S, D))
+    gt = jax.random.normal(jax.random.PRNGKey(23), (F, H, W, 3))
+    w = jnp.ones((F,), jnp.float32)
+    denom = jnp.asarray(float(F * H * W * 3), jnp.float32)
+
+    def loss(p, s, g_, w_):
+        return frozen_decoder_recon_loss(p, s, g_, w_, denom, cfg, S)
+
+    l32, g32 = jax.value_and_grad(loss, argnums=(1, 2))(
+        params, slots, gt, w)
+    from slotformer_tpu.runtime import to_bf16 as bf
+    l16, g16 = jax.value_and_grad(loss, argnums=(1, 2))(
+        bf(params), bf(slots), bf(gt), w)
+    assert l16.dtype == jnp.float32  # reduction upcast, not bf16
+    assert g16[0].dtype == jnp.bfloat16 and g16[1].dtype == jnp.bfloat16
+    np.testing.assert_allclose(float(l16), float(l32), rtol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(g16[0], np.float32), np.asarray(g32[0]),
+        rtol=0.2, atol=0.02)
+
+
 @pytest.mark.parametrize("pred_rnn", [False, True])
 def test_stosavi_bf16_train_loss_scan_carry(pred_rnn):
     """AMP regression (round-4 crash): with all-f32 params cast to bf16 (the
@@ -325,9 +414,7 @@ def test_stosavi_bf16_train_loss_scan_carry(pred_rnn):
     model = tiny_savi(kld="var-0.01", pred_rnn=pred_rnn, pred_type="transformer")
     batch = {"img": jax.random.normal(jax.random.PRNGKey(7), (2, 3, 32, 32, 3))}
     variables = model.init({"params": RNG, "sample": RNG}, batch)
-    bf = lambda t: jax.tree.map(  # noqa: E731
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
-    )
+    from slotformer_tpu.runtime import to_bf16 as bf  # THE trainer cast
     losses = model.apply(
         {"params": bf(variables["params"])}, bf(batch), method="train_loss",
         rngs={"sample": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},

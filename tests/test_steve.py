@@ -150,9 +150,7 @@ def test_steve_bf16_train_loss_scan_carry():
     model = _tiny_steve()
     batch = {"img": jax.random.normal(jax.random.PRNGKey(9), (2, 3, 16, 16, 3))}
     variables = model.init({"params": RNG, "sample": RNG, "dropout": RNG}, batch)
-    bf = lambda t: jax.tree.map(  # noqa: E731
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
-    )
+    from slotformer_tpu.runtime import to_bf16 as bf  # THE trainer cast
     losses = model.apply(
         {"params": bf(variables["params"])}, bf(batch), method="train_loss",
         rngs={"sample": RNG, "dropout": RNG},

@@ -253,6 +253,18 @@ def test_build_vocab_reproduces_shipped_rule(tmp_path):
     assert load_obj(out) == shipped
 
 
+def test_build_vocab_refuses_empty_corpus(tmp_path):
+    """No question files found -> raise, and never persist a PAD-only
+    cache (which would poison every later run via the isfile fast path
+    until manually deleted)."""
+    from slotformer_tpu.datasets.clevrer_vqa import build_vocab
+
+    out = str(tmp_path / "vocab.json")
+    with pytest.raises(FileNotFoundError, match="no question corpus"):
+        build_vocab(str(tmp_path / "nonexistent_root"), save_path=out)
+    assert not osp.isfile(out)
+
+
 def test_vqa_dataset_builds_vocab_when_missing(tmp_path, capsys):
     """The dataset regenerates a missing vocab cache from the question
     corpus and tokenizes with it (build-if-missing; the reference can only
