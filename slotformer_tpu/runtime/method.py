@@ -88,8 +88,6 @@ def to_bf16(tree):
     scripts/train.py:72,84,105) — bench.py and the AMP regression tests
     import this so a measured/tested program can never silently diverge
     from what the trainer runs."""
-    import jax.numpy as jnp
-
     return jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32
