@@ -98,9 +98,15 @@ def time_train(model, batch, rng_names=("sample", "dropout"), frozen=(),
 
 
 def probe_steve(results):
+    """STEVE legs. First r7b attempt showed the reference batch (48) does
+    NOT fit a 16 GB v5e in f32 (XLA: 'Used 30.54G of 15.75G hbm',
+    amp_matrix_probe_r5_steve.log) — the reference itself trains STEVE
+    fp16 on 40 GB A100s. So: a matched-batch speed A/B at bs that fits
+    both, plus a capacity sweep showing the largest batch each precision
+    fits."""
     from slotformer_tpu.models.steve import STEVE
 
-    bs, t, res, d = (2, 2, 32, 32) if TINY else (48, 6, 128, 192)
+    t, res, d = (2, 32, 32) if TINY else (6, 128, 192)
     vocab = 64 if TINY else 4096
     model = STEVE(
         resolution=(res, res), clip_len=t,
@@ -116,13 +122,38 @@ def probe_steve(results):
                        pred_sg_every=None),
         loss_dict=dict(use_img_recon_loss=False),
     )
-    batch = {"img": np.random.RandomState(0)
-             .uniform(-1, 1, (bs, t, res, res, 3)).astype(np.float32)}
-    for tag, amp in (("f32", False), ("amp_bf16", True)):
-        dt = time_train(model, batch, frozen=("dvae",), use_bf16=amp)
+
+    def run(tag, bs, amp):
+        batch = {"img": np.random.RandomState(0)
+                 .uniform(-1, 1, (bs, t, res, res, 3)).astype(np.float32)}
+        try:
+            dt = time_train(model, batch, frozen=("dvae",), use_bf16=amp)
+        except Exception as e:  # noqa: BLE001 — OOM arrives as JaxRuntimeError
+            if "memory" not in str(e).lower() and "hbm" not in str(e).lower():
+                raise
+            results[f"steve_train_{tag}"] = "OOM"
+            print(json.dumps(results), flush=True)
+            return False
         results[f"steve_train_{tag}_ms"] = round(dt * 1e3, 1)
         results[f"steve_train_{tag}_fps"] = round(bs * t / dt, 1)
         print(json.dumps(results), flush=True)
+        return True
+
+    if TINY:
+        run("f32_b2", 2, False)
+        run("amp_bf16_b2", 2, True)
+        return
+    # matched-batch speed A/B (b16 ≈ 10 GB f32 by linear scaling)
+    run("f32_b16", 16, False)
+    run("amp_bf16_b16", 16, True)
+    # capacity: reference batch is 48; f32@48 measured OOM on the first
+    # attempt — re-record it cheaply is NOT worth a 30 s AOT compile, so
+    # stamp it from that run and sweep AMP downward from 48.
+    results["steve_train_f32_b48"] = "OOM (30.54G of 15.75G hbm, r7b run 1)"
+    print(json.dumps(results), flush=True)
+    for bs in (48, 32, 24):
+        if run(f"amp_bf16_b{bs}", bs, True):
+            break
 
 
 def probe_dvae(results):
