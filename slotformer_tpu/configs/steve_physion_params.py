@@ -3,6 +3,12 @@
 Values match base_slots/configs/steve_physion_params.py in the reference:
 10 epochs ~ 460k steps, batch 48, dual LR (model 1e-4 / token decoder 3e-4),
 6 slots x 192d, frozen pretrained dVAE.
+
+Train with ``--fp16`` (as the reference does, scripts/train.py:72): AMP
+measured 1.21x at matched batch, and on a 16 GB v5e it is a capacity
+requirement — f32 OOMs at this global batch per chip (30.54G of 15.75G
+hbm) and at 32; bf16 fits 32 (amp_matrix_probe_r5_steve2.log; shard the
+batch over >=2 chips or use grad accumulation to hold global batch 48).
 """
 
 from slotformer_tpu.runtime import BaseParams
