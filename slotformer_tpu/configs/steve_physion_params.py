@@ -9,6 +9,9 @@ measured 1.21x at matched batch, and on a 16 GB v5e it is a capacity
 requirement — f32 OOMs at this global batch per chip (30.54G of 15.75G
 hbm) and at 32; bf16 fits 32 (amp_matrix_probe_r5_steve2.log; shard the
 batch over >=2 chips or use grad accumulation to hold global batch 48).
+Convergence-verified: identical-budget synth64 twins reach val token CE
+0.08282 (AMP) vs 0.09096 (f32) at 3,080 steps, 1.28x in wall-clock
+(experiments/logs/steve_amp_ab_r5.log).
 """
 
 from slotformer_tpu.runtime import BaseParams
