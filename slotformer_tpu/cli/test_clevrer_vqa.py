@@ -110,7 +110,7 @@ def main(argv=None) -> None:
         )
         dump_obj(results, save_path)
         print(f"[test_clevrer_vqa] submission saved -> {save_path}")
-        return
+        return results
 
     # ---- local val scoring: question-level accuracy incl. per-subtype
     dataset = build_clevrer_vqa_dataset(params, val_only=True)
@@ -132,15 +132,22 @@ def main(argv=None) -> None:
         all_corr = all(pred == label for pred, label, _ in rows)
         q_correct.append(all_corr)
         per_subtype[rows[0][2]].append(all_corr)
-    print(f"descriptive_acc: {cls_correct / max(cls_total, 1):.4f} "
-          f"({cls_total} questions)")
-    print(f"multiple-choice_acc: {np.mean(q_correct) if q_correct else 0:.4f} "
-          f"({len(q_correct)} questions)")
+    metrics = {
+        "descriptive_acc": cls_correct / max(cls_total, 1),
+        "descriptive_n": cls_total,
+        "multiple-choice_acc": float(np.mean(q_correct)) if q_correct else 0.0,
+        "multiple-choice_n": len(q_correct),
+    }
     for name, sid in (("explanatory", 1), ("predictive", 2),
                       ("counterfactual", 3)):
         vals = per_subtype.get(sid, [])
-        print(f"{name}_acc: {np.mean(vals) if vals else 0:.4f} "
-              f"({len(vals)} questions)")
+        metrics[f"{name}_acc"] = float(np.mean(vals)) if vals else 0.0
+        metrics[f"{name}_n"] = len(vals)
+    for q in ("descriptive", "multiple-choice", "explanatory", "predictive",
+              "counterfactual"):
+        print(f"{q}_acc: {metrics[f'{q}_acc']:.4f} "
+              f"({metrics[f'{q}_n']} questions)")
+    return metrics
 
 
 if __name__ == "__main__":
