@@ -17,7 +17,7 @@ import os
 import numpy as np
 
 
-def main(argv=None) -> None:
+def main(argv=None) -> dict:
     parser = argparse.ArgumentParser(description="test Physion VQA readout")
     parser.add_argument("--params", required=True)
     parser.add_argument("--weight", required=True)
@@ -76,6 +76,7 @@ def main(argv=None) -> None:
         return (np.concatenate(probs), np.concatenate(labels),
                 np.concatenate(tasks))
 
+    sweep = []
     best = (-1.0, None, None, None)  # acc, weight, thresh, task_acc
     for w in all_weights:
         probs, labels, tasks = eval_weight(w)
@@ -87,6 +88,8 @@ def main(argv=None) -> None:
                 for t in np.unique(tasks)
             }
             print(f"{os.path.basename(w)} @ {thresh:.2f}: acc={acc:.4f}")
+            sweep.append({"weight": os.path.basename(w), "thresh": thresh,
+                          "acc": acc, "task_acc": task_acc})
             if acc > best[0]:
                 best = (acc, w, thresh, task_acc)
 
@@ -95,6 +98,9 @@ def main(argv=None) -> None:
     print(f"All accuracy: {acc:.3f}")
     for task, a in task_acc.items():
         print(f"{task}: {a:.3f}")
+    return {"sweep": sweep,
+            "best": {"weight": os.path.basename(w), "thresh": thresh,
+                     "acc": acc, "task_acc": task_acc}}
 
 
 if __name__ == "__main__":
