@@ -60,7 +60,9 @@ def _forward_rows(model, params_tree, dataset, batch_size, max_batches=-1):
             )
 
 
-def main(argv=None) -> None:
+def main(argv=None):
+    """Returns the submission list (--split test) or the question-level
+    metrics dict (--split val); also printed/saved as the reference does."""
     parser = argparse.ArgumentParser(description="Aloe CLEVRER VQA eval")
     parser.add_argument("--params", required=True)
     parser.add_argument("--weight", required=True)
