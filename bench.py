@@ -276,9 +276,13 @@ def _contended():
     import os
 
     v = os.environ.get("SF_BENCH_CONTENDED")
-    if v is None:
-        return "unknown"
-    return v == "1"
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    # absent OR any unrecognized value: never launder as clean, never
+    # assert contention that was not observed
+    return "unknown"
 
 
 def main() -> None:
@@ -372,7 +376,9 @@ def _acquire_tpu_lock():
     try:
         fd = open(path, "w")
     except OSError:
-        return None, True
+        # no lock could even be opened: contention was neither observed
+        # nor excluded — stamp "unknown", not a positive contention claim
+        return None, "unknown"
     t0 = time.time()
     while True:
         try:
@@ -402,7 +408,8 @@ def _supervised(argv) -> int:
     import subprocess
 
     lock, contended = _acquire_tpu_lock()
-    env = dict(os.environ, SF_BENCH_CONTENDED="1" if contended else "0")
+    stamp = {False: "0", True: "1"}.get(contended, "unset")
+    env = dict(os.environ, SF_BENCH_CONTENDED=stamp)
     try:
         for attempt in range(3):
             try:

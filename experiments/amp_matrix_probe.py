@@ -20,6 +20,11 @@ f32 master params + bf16 compute at the loss boundary, f32 loss reduction
 Timing per CLAUDE.md tunneled-TPU rules: K optimizer steps folded into one
 jit lax.scan whose body threads (params, opt_state) through the carry (so
 LICM cannot hoist it), synced by fetching a scalar.
+
+NOTE: bench.py's time_train is the SOURCE OF TRUTH for this K-step
+scan timing harness; this probe carries a frozen copy so its logged
+numbers stay reproducible as measured. If the harness methodology
+changes in bench.py, re-measure rather than assume these logs.
 """
 
 import json

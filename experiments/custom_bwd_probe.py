@@ -11,6 +11,11 @@ Compares (CLEVRER train shape, F=640 frames x 7 slots -> 64x64):
 
 Timing per CLAUDE.md tunneled-TPU rules: iterations folded into one jit
 lax.scan whose body DEPENDS on the carry; synced by fetching a scalar.
+
+NOTE: bench.py's time_train is the SOURCE OF TRUTH for this K-step
+scan timing harness; this probe carries a frozen copy so its logged
+numbers stay reproducible as measured. If the harness methodology
+changes in bench.py, re-measure rather than assume these logs.
 """
 
 import json

@@ -46,6 +46,15 @@ def adjust_params(params, batch_size: int):
     params.loss_dict["rollout_len"] = num_frames - params.input_frames
     params.loss_dict["use_img_recon_loss"] = True
     params.load_img = True
+    # mirror the reference's get_output model gate (test_vp.py:93-99 raises
+    # for anything but SlotFormer): the eval below consumes recon_combined +
+    # masks, which only the pixel-decoding SlotFormer family produces.
+    # STEVESlotFormer rolls out TOKENS — evaluate it via rollout_slots +
+    # the downstream readout/VQA pipelines instead.
+    if params.model not in ("SlotFormer", "SingleStepSlotFormer"):
+        raise NotImplementedError(
+            f"test_vp needs a pixel-decoding model (recon_combined + masks); "
+            f"got {params.model!r}")
     return params
 
 
@@ -162,16 +171,11 @@ def main(argv=None) -> None:
             db["pres_mask"][:, history_len:].astype(bool) if "pres_mask" in db else None
         )
 
-        # ship ONLY what the rollout consumes (slots, precomputed tokens) —
-        # GT images/masks are metric inputs, not model inputs; through the
-        # payload-proportional tunnel the full batch was the bottleneck.
-        # Exception: STEVESlotFormer's img-recon path tokenizes batch['img']
-        # itself when no precomputed token_id is present — stripping img
-        # there would KeyError inside the jitted forward.
-        fwd_keys = ("slots", "token_id")
-        if params.model == "STEVESlotFormer" and "token_id" not in db:
-            fwd_keys += ("img",)
-        fwd_batch = {k: db[k] for k in fwd_keys if k in db}
+        # ship ONLY what the rollout consumes (slots) — GT images/masks are
+        # metric inputs, not model inputs; through the payload-proportional
+        # tunnel the full batch was the bottleneck. (Non-pixel models are
+        # rejected in adjust_params, mirroring the reference.)
+        fwd_batch = {k: db[k] for k in ("slots",) if k in db}
         t0 = time.perf_counter()
         pred, pred_mask, pred_bbox = forward(params_tree, fwd_batch)
         # predictions STAY on device (pred_eval_step consumes them there);

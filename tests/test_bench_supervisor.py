@@ -61,6 +61,20 @@ def test_contended_is_tristate(monkeypatch):
     assert bench._contended() is False
     monkeypatch.setenv("SF_BENCH_CONTENDED", "1")
     assert bench._contended() is True
+    # any unrecognized value (stale wrapper exports like "true"/"yes")
+    # must neither launder as clean nor assert unobserved contention
+    for garbage in ("true", "yes", "", "2"):
+        monkeypatch.setenv("SF_BENCH_CONTENDED", garbage)
+        assert bench._contended() == "unknown", garbage
+
+
+def test_unopenable_lock_stamps_unknown(monkeypatch, tmp_path):
+    """A lock file that cannot even be opened observes NO contention —
+    the artifact must stamp 'unknown', not a positive contention claim."""
+    monkeypatch.setenv(
+        "SF_TPU_LOCK", str(tmp_path / "no_such_dir" / "lock"))
+    fd, contended = bench._acquire_tpu_lock()
+    assert fd is None and contended == "unknown"
 
 
 def test_lock_outwaits_holder_by_default(monkeypatch, tmp_path):
