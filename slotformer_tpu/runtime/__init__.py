@@ -57,4 +57,7 @@ __all__ = [
     "Dataset",
     "default_collate",
     "BaseMethod",
+    "RestartForMemory",
+    "to_bf16",
+    "torch_compat",
 ]

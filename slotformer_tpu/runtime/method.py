@@ -367,9 +367,15 @@ class BaseMethod:
         resume_from: str = "",
         san_check_val_step: int = 2,
     ) -> None:
-        if self.state is None:
+        resuming = bool(resume_from) and os.path.isfile(resume_from)
+        if self.state is None and not resuming:
             self.setup_state()
-        if resume_from and os.path.isfile(resume_from):
+        if resuming:
+            # skip setup_state: load_ckp builds params + the opt-state
+            # template itself, so the full model.init + _post_init_params
+            # graft (which reads pretrained ckpts from disk) would be
+            # thrown away — and every RSS-watchdog restart would both pay
+            # it and re-depend on the graft source file still existing
             self.load_ckp(resume_from)
         self._train_step_fn = self._train_step_fn or self._make_train_step()
         self._eval_step_fn = self._eval_step_fn or self._make_eval_step()
@@ -409,12 +415,60 @@ class BaseMethod:
         raise RestartForMemory(f"rss {rss:.1f} GB >= {self.max_rss_gb:.1f} GB")
 
     def _put_batch(self, batch: dict):
+        """Place a host batch on the mesh; returns (device_batch, size)."""
         db = _device_batch(batch)
         bs = next(v.shape[0] for v in db.values())
         if bs % self.mesh.shape["data"] == 0:
-            return shard_batch(self.mesh, db)
-        # batch smaller than the mesh (tiny debug runs): replicate
-        return replicate(self.mesh, db)
+            return shard_batch(self.mesh, db), bs
+        # batch not divisible by the data axis (tiny debug runs, val
+        # remainder batches): replicate — exact, just no DP speedup
+        return replicate(self.mesh, db), bs
+
+    def _profile_start_if_due(self, inc: int) -> None:
+        """Start the profiler when its start step falls inside the next
+        call's [it, it+inc) window — equality would never fire when
+        steps_per_call > 1 makes self.it skip over it. The _profiling flag
+        makes the check idempotent: in fused mode this runs once per BATCH
+        while self.it only advances once per fused call."""
+        if not self._profile_steps or getattr(self, "_profiling", False):
+            return
+        if self.it <= int(self._profile_steps[0]) < self.it + inc:
+            jax.profiler.start_trace(os.path.join(self.ckp_path, "profile"))
+            self._profiling = True
+
+    def _post_step(self, losses, t0, last_print_it, save_every, inc):
+        """Per-step bookkeeping shared by the fused loop, the single-step
+        loop, and the fused-mode remainder loop (kept in one place so the
+        trigger windows cannot drift): profiler stop, interval logging,
+        interval checkpoint + RSS watchdog. Returns (t0, last_print_it)."""
+        if getattr(self, "_profiling", False) and \
+                self.it - inc < int(self._profile_steps[1]) <= self.it:
+            jax.tree.map(lambda x: x.block_until_ready(), losses)
+            jax.profiler.stop_trace()
+            self._profiling = False
+            print(f"[profile] trace saved under {self.ckp_path}/profile",
+                  flush=True)
+        if self.it % self.print_iter < inc:
+            losses = {k: float(v) for k, v in losses.items()}
+            dt = (time.perf_counter() - t0) / max(self.it - last_print_it, 1)
+            t0 = time.perf_counter()
+            last_print_it = self.it
+            self._log(
+                {
+                    "phase": "train",
+                    "step": self.it,
+                    "epoch": self.epoch,
+                    "sec_per_step": round(dt, 4),
+                    **{k: round(v, 6) for k, v in losses.items()},
+                }
+            )
+        if self.it % save_every < inc:
+            self.save_ckp()
+            if self.it % self.steps_per_epoch != 0:
+                # at an exact epoch boundary fit() validates first and
+                # then runs the watchdog — don't skip that eval
+                self._maybe_restart()
+        return t0, last_print_it
 
     def _train_epoch(self, save_every: int) -> None:
         t0 = time.perf_counter()
@@ -426,9 +480,9 @@ class BaseMethod:
         # happens at the sampler-index level (iter_from) so no host
         # loading/augmentation is paid for already-consumed batches.
         skip = self.it % self.steps_per_epoch
+        inc = max(self.steps_per_call, 1)
         for batch in self.train_loader.iter_from(skip):
-            if self._profile_steps and self.it == int(self._profile_steps[0]):
-                jax.profiler.start_trace(os.path.join(self.ckp_path, "profile"))
+            self._profile_start_if_due(inc)
             if self.steps_per_call > 1:
                 pending.append(_device_batch(batch))
                 if len(pending) < self.steps_per_call:
@@ -451,78 +505,34 @@ class BaseMethod:
                 )
                 self.it += self.steps_per_call
             else:
-                batch = self._put_batch(batch)
+                batch, _ = self._put_batch(batch)
                 self.state, losses = self._train_step_fn(
                     self.state, batch, jnp.asarray(self.it, jnp.int32)
                 )
                 self.it += 1
-            if self._profile_steps and self.it == int(self._profile_steps[1]):
-                jax.tree.map(lambda x: x.block_until_ready(), losses)
-                jax.profiler.stop_trace()
-                print(f"[profile] trace saved under {self.ckp_path}/profile",
-                      flush=True)
-            if self.it % self.print_iter < self.steps_per_call:
-                losses = {k: float(v) for k, v in losses.items()}
-                dt = (time.perf_counter() - t0) / max(self.it - last_print_it, 1)
-                t0 = time.perf_counter()
-                last_print_it = self.it
-                self._log(
-                    {
-                        "phase": "train",
-                        "step": self.it,
-                        "epoch": self.epoch,
-                        "sec_per_step": round(dt, 4),
-                        **{k: round(v, 6) for k, v in losses.items()},
-                    }
-                )
-            if self.it % save_every < self.steps_per_call:
-                self.save_ckp()
-                if self.it % self.steps_per_epoch != 0:
-                    # at an exact epoch boundary fit() validates first and
-                    # then runs the watchdog — don't skip that eval
-                    self._maybe_restart()
+            t0, last_print_it = self._post_step(
+                losses, t0, last_print_it, save_every, inc)
         # fused mode: run leftover batches (epoch length not divisible by
         # steps_per_call) through the single-step path so no data is dropped;
-        # keep the same logging/checkpoint bookkeeping as the main loop so a
-        # save boundary landing in the remainder still writes a ckpt
+        # the shared _post_step keeps the logging/checkpoint/profiler
+        # bookkeeping identical to the main loop
         for b in pending:
+            self._profile_start_if_due(1)
+            db, _ = self._put_batch(b)
             self.state, losses = self._single_step_fn(
-                self.state, self._put_batch(b), jnp.asarray(self.it, jnp.int32)
+                self.state, db, jnp.asarray(self.it, jnp.int32)
             )
             self.it += 1
-            if self.it % self.print_iter == 0:
-                losses = {k: float(v) for k, v in losses.items()}
-                dt = (time.perf_counter() - t0) / max(self.it - last_print_it, 1)
-                t0 = time.perf_counter()
-                last_print_it = self.it
-                self._log(
-                    {
-                        "phase": "train",
-                        "step": self.it,
-                        "epoch": self.epoch,
-                        "sec_per_step": round(dt, 4),
-                        **{k: round(v, 6) for k, v in losses.items()},
-                    }
-                )
-            if self.it % save_every == 0:
-                self.save_ckp()
-                if self.it % self.steps_per_epoch != 0:
-                    self._maybe_restart()
+            t0, last_print_it = self._post_step(
+                losses, t0, last_print_it, save_every, 1)
 
     def _val_batches(self, san_check_step: int = -1):
-        """Yield (raw_batch, device_batch, batch_size) over the val loader."""
-        n_data = self.mesh.shape["data"]
+        """Yield (raw_batch, device_batch, batch_size) over the val loader
+        with the SAME placement policy as training (_put_batch)."""
         for i, batch in enumerate(self.val_loader):
             if 0 < san_check_step <= i:
                 break
-            db = _device_batch(batch)
-            n = next(v.shape[0] for v in db.values())
-            if n % n_data == 0:
-                db = shard_batch(self.mesh, db)
-            else:
-                # remainder batch: replicate instead of sharding (exact, just
-                # no data-parallel speedup for this one batch)
-                db = replicate(self.mesh, db)
+            db, n = self._put_batch(batch)
             yield batch, db, n
 
     def _update_val_stats(self, losses: dict, n: int) -> None:
@@ -607,12 +617,19 @@ class BaseMethod:
         self._join_ckp_writer()
 
         def _write():
-            from .io import symlink_force
+            try:
+                from .io import symlink_force
 
-            path = os.path.join(self.ckp_path, f"model_{step}.ckpt.pkl")
-            save_checkpoint(path, params, step=step, opt_state=opt_state, rng=rng)
-            # keep a stable pointer for consumers
-            symlink_force(path, os.path.join(self.ckp_path, "latest.ckpt.pkl"))
+                path = os.path.join(self.ckp_path, f"model_{step}.ckpt.pkl")
+                save_checkpoint(
+                    path, params, step=step, opt_state=opt_state, rng=rng)
+                # keep a stable pointer for consumers
+                symlink_force(
+                    path, os.path.join(self.ckp_path, "latest.ckpt.pkl"))
+            except BaseException as e:
+                # surfaced (re-raised) by the next _join_ckp_writer — not
+                # re-raised here, a daemon-thread traceback only makes noise
+                self._ckp_writer_exc = e
 
         import threading
 
@@ -620,10 +637,20 @@ class BaseMethod:
         self._ckp_writer.start()
 
     def _join_ckp_writer(self) -> None:
+        """Join the in-flight write and RE-RAISE its failure: a swallowed
+        write error would let _maybe_restart raise RestartForMemory with no
+        fresh checkpoint on disk — an infinite restart loop replaying the
+        same steps from the last OLD checkpoint."""
         writer = getattr(self, "_ckp_writer", None)
         if writer is not None:
             writer.join()
             self._ckp_writer = None
+        exc = getattr(self, "_ckp_writer_exc", None)
+        if exc is not None:
+            self._ckp_writer_exc = None
+            raise RuntimeError(
+                f"async checkpoint write failed under {self.ckp_path!r}"
+            ) from exc
 
     def load_ckp(self, path: str) -> None:
         self._join_ckp_writer()

@@ -106,11 +106,15 @@ def build_optimizer(
         txs = []
         if clip_grad > 0:
             txs.append(optax.clip_by_global_norm(clip_grad))
-        if opt_name == "adamw" or weight_decay > 0:
+        if opt_name == "adamw" or (opt_name == "adam" and weight_decay > 0):
+            # adam + weight_decay means decoupled decay (torch AdamW
+            # semantics); other optimizers must NOT be silently hijacked
             txs.append(optax.adamw(schedule, weight_decay=weight_decay))
         elif opt_name == "adam":
             txs.append(optax.adam(schedule))
         elif opt_name == "sgd":
+            if weight_decay > 0:
+                txs.append(optax.add_decayed_weights(weight_decay))
             txs.append(optax.sgd(schedule))
         else:
             raise NotImplementedError(f"optimizer {opt_name}")

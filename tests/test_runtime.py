@@ -237,3 +237,30 @@ def test_dataloader_iter_from_skips_at_index_level():
         np.testing.assert_array_equal(a, b)
     # only the tail's samples were loaded
     assert len(touched) == 4 * len(tail)
+
+
+def test_sgd_with_weight_decay_is_not_adamw():
+    """optimizer='SGD' + weight_decay must build SGD with additive decay —
+    not silently hijack the config into AdamW (no Adam moment state), and
+    the update must equal -lr * (g + wd * p)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slotformer_tpu.runtime import BaseParams
+    from slotformer_tpu.runtime.schedules import build_optimizer
+
+    class P(BaseParams):
+        optimizer = "SGD"
+        lr = 0.1
+        weight_decay = 0.5
+        warmup_steps_pct = 0.0
+
+    tx = build_optimizer(P(), total_steps=10)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    assert "Adam" not in str(jax.tree_util.tree_structure(state))
+    grads = {"w": jnp.full((3,), 2.0)}
+    updates, _ = tx.update(grads, state, params)
+    # step 0 of the cosine schedule with no warmup is max_lr
+    np.testing.assert_allclose(
+        np.asarray(updates["w"]), -0.1 * (2.0 + 0.5 * 1.0), rtol=1e-6)

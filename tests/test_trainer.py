@@ -314,6 +314,59 @@ def test_rss_watchdog_checkpoints_and_raises(tmp_path):
     assert method2.it == method.it
 
 
+def test_failed_async_ckpt_write_raises(tmp_path, monkeypatch):
+    """A failed background checkpoint write must surface as a hard error at
+    the next writer join — a swallowed failure would let the RSS watchdog
+    raise RestartForMemory with no fresh ckpt on disk, re-exec, and loop
+    forever replaying the same steps."""
+    import slotformer_tpu.runtime.method as method_mod
+
+    params = SAViParams()
+    dm = BaseDataModule(params, _SyntheticVideo(32), _SyntheticVideo(8, seed=1))
+    model = build_model(params)
+    method = build_method(
+        model=model, datamodule=dm, params=params, ckp_path=str(tmp_path / "c")
+    )
+    method.setup_state()
+
+    def boom(*a, **kw):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(method_mod, "save_checkpoint", boom)
+    method.save_ckp()
+    with pytest.raises(RuntimeError, match="checkpoint write failed"):
+        method._join_ckp_writer()
+    # the exception is consumed once; a later healthy join is clean
+    method._join_ckp_writer()
+
+
+def test_resume_skips_setup_state(tmp_path, monkeypatch):
+    """fit(resume_from=...) must not pay (or depend on) a full
+    setup_state: load_ckp rebuilds params + the opt-state template itself,
+    and the _post_init_params graft source may no longer exist."""
+    params = SAViParams()
+    params.max_epochs = 1
+    dm = BaseDataModule(params, _SyntheticVideo(8), _SyntheticVideo(8, seed=1))
+    model = build_model(params)
+    m1 = build_method(
+        model=model, datamodule=dm, params=params, ckp_path=str(tmp_path / "c")
+    )
+    m1.fit(san_check_val_step=0)
+    from slotformer_tpu.runtime import latest_checkpoint
+
+    ck = latest_checkpoint(str(tmp_path / "c"))
+    m2 = build_method(
+        model=model, datamodule=dm, params=params, ckp_path=str(tmp_path / "c")
+    )
+
+    def no_setup(*a, **kw):
+        raise AssertionError("setup_state must be skipped on resume")
+
+    monkeypatch.setattr(m2, "setup_state", no_setup)
+    m2.fit(resume_from=ck, san_check_val_step=0)  # already at max steps
+    assert m2.it == m1.it
+
+
 @pytest.mark.slow
 def test_rss_watchdog_reexec_argv(tmp_path, monkeypatch):
     """cli.train turns RestartForMemory into an os.execv with
@@ -429,7 +482,7 @@ def test_uint8_wire_batch_matches_f32(tmp_path):
     batch_f32q = dict(batch_f32,
                       img=((img_u8.astype(np.float32) / 255.0 - 0.5) / 0.5))
 
-    put = method._put_batch
+    put = lambda b: method._put_batch(b)[0]  # noqa: E731
     state0 = method.state
 
     def fresh():  # train_step donates its state arg — copy per call
